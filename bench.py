@@ -1,0 +1,108 @@
+"""Benchmark harness: EE LayoutLMv3-base inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures docs/sec of the flagship anytime-inference forward (all exit heads +
+final classifier + exit criteria, the logit-harvesting workload of the
+reference's EE/utils.py:get_logits) at the reference compute budget: 512 text
+tokens + 197 visual tokens, LayoutLMv3-base.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its eval loop
+runs PyTorch at batch size 1 on a single CUDA GPU (EE/configs.py:36,44).
+We use 32 docs/sec as the reference-GPU estimate for that workload
+(~120 GFLOPs/doc dense forward, typical single-GPU bs=1 HF throughput);
+the north-star target is vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_GPU_DOCS_PER_SEC = 32.0
+
+
+def main() -> None:
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import ee_forward, init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.base(num_labels=16),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 7)),
+    )
+    import jax.numpy as jnp
+
+    params = init_ee_params(jax.random.key(0), cfg)
+    # bf16 params + activations: MXU-native, halves HBM traffic.
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
+    batch, seq = 32, 512
+    rng = np.random.default_rng(0)
+    bb = cfg.backbone
+    input_ids = jnp.asarray(rng.integers(10, bb.vocab_size, (batch, seq)), jnp.int32)
+    x0 = rng.integers(0, 900, (batch, seq, 1))
+    y0 = rng.integers(0, 900, (batch, seq, 1))
+    bbox = jnp.asarray(
+        np.concatenate(
+            [x0, y0, x0 + rng.integers(1, 100, (batch, seq, 1)),
+             y0 + rng.integers(1, 100, (batch, seq, 1))], axis=-1
+        ),
+        jnp.int32,
+    )
+    pixel_values = jnp.asarray(
+        rng.standard_normal((batch, 3, bb.input_size, bb.input_size)), jnp.bfloat16
+    )
+    mask = jnp.ones((batch, seq), jnp.int32)
+
+    # The session TPU is reached through a tunnel where dispatch is
+    # fire-and-forget (block_until_ready returns before execution) and
+    # device->host bandwidth is tiny. Honest timing therefore runs K
+    # forwards *inside one jit* via lax.scan and fetches a single scalar:
+    # one dispatch round-trip, negligible transfer, full on-chip execution.
+    K = 8
+
+    @jax.jit
+    def fwd_k(params, input_ids, bbox, pixel_values, mask):
+        def body(carry, k):
+            # fold the step index into the inputs so XLA cannot CSE the
+            # K iterations into one
+            ids = jnp.where(mask > 0, (input_ids + k) % bb.vocab_size, input_ids)
+            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
+            store = out.policy_logits()
+            return carry + store.astype(jnp.float32).sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+        return total
+
+    _ = float(fwd_k(params, input_ids, bbox, pixel_values, mask))  # compile+warm
+
+    n_calls = 3
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        _ = float(fwd_k(params, input_ids, bbox, pixel_values, mask))
+    dt = time.perf_counter() - t0
+
+    docs_per_sec = batch * K * n_calls / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ee_inference_docs_per_sec_per_chip",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "vs_baseline": round(docs_per_sec / REFERENCE_GPU_DOCS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

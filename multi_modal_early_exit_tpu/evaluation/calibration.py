@@ -1,0 +1,112 @@
+"""Per-exit temperature scaling and Platt scaling.
+
+Parity: EE/generic_scaling.py — a single scalar temperature per exit, fit by
+scipy L-BFGS-B minimizing NLL of softmax(logits / T) on validation logits
+(generic_scaling.py:90-99). The same scipy optimizer/objective is kept so the
+fitted temperatures — and therefore the accuracy_calibration_heuristic
+thresholds built from post-calibration metrics — reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+from scipy.optimize import minimize
+from scipy.special import logsumexp, softmax
+from sklearn.linear_model import LogisticRegression
+from sklearn.metrics import log_loss
+
+
+def manual_NLL(y_true: np.ndarray, P: np.ndarray) -> float:
+    log_sum_exp = logsumexp(a=P, axis=1)
+    logits_trueclass = np.sum(P * y_true, axis=1)
+    return float(-np.mean(logits_trueclass - log_sum_exp))
+
+
+class TemperatureScaler:
+    """Fit a scalar temperature on validation logits; apply to test logits."""
+
+    def __init__(self, temperature: Optional[float] = None):
+        self.temperature = np.ones(1) if not temperature else np.ones(1) * temperature
+
+    def fit(self, labels: np.ndarray, logits: np.ndarray) -> np.ndarray:
+        return self.set_temperature(labels, logits)
+
+    def transform(self, logits: np.ndarray) -> np.ndarray:
+        return softmax(self.temperature_scale(logits), -1)
+
+    def temperature_scale(self, logits: np.ndarray) -> np.ndarray:
+        temperature = np.resize(self.temperature, logits.shape)
+        return logits / temperature
+
+    def set_temperature(self, labels: np.ndarray, logits: np.ndarray) -> np.ndarray:
+        def objective(temperature, labels, logits):
+            return log_loss(
+                labels,
+                softmax(logits / temperature, -1),
+                labels=np.arange(logits.shape[-1]),
+            )
+
+        result = minimize(
+            objective,
+            x0=self.temperature,
+            method="L-BFGS-B",
+            args=(labels, logits),
+            bounds=[(1e-32, None)],
+        )
+        assert result.success
+        self.temperature = result.x
+        return self.temperature
+
+
+def get_platt_scaler(model_probs: np.ndarray, labels: np.ndarray) -> Callable:
+    """Logistic-regression calibration of confidences
+    (parity: generic_scaling.py:9-26)."""
+    clf = LogisticRegression(C=1e10, solver="lbfgs")
+    eps = 1e-12
+    x = np.expand_dims(model_probs.astype(np.float64), axis=-1)
+    x = np.clip(x, eps, 1 - eps)
+    x = np.log(x / (1 - x))
+    clf.fit(x, labels)
+
+    def calibrator(probs):
+        z = np.clip(np.array(probs, dtype=np.float64), eps, 1 - eps)
+        z = np.log(z / (1 - z))
+        z = z * clf.coef_[0] + clf.intercept_
+        return 1 / (1 + np.exp(-z))
+
+    return calibrator
+
+
+def calibrate_exit_logits(
+    validation_logits: np.ndarray,
+    validation_references: np.ndarray,
+    test_logits: np.ndarray,
+):
+    """Fit per-exit temperatures on validation, apply to test
+    (parity: EE/eval.py:277-346). Returns (calibrated_test_logits, metrics).
+    """
+    from multi_modal_early_exit_tpu.evaluation.metrics import ece_logits
+
+    nr_exits = test_logits.shape[0]
+    calibrated = np.zeros_like(test_logits)
+    temperatures, ece, acc, avg_conf = [], [], [], []
+    for i in range(nr_exits):
+        scaler = TemperatureScaler()
+        scaler.fit(validation_references, validation_logits[i])
+        calibrated[i] = scaler.temperature_scale(test_logits[i])
+        # metrics recorded on validation logits post-calibration, as the
+        # reference does (eval.py:324-334)
+        cal_val = scaler.temperature_scale(validation_logits[i])
+        ece.append(float(ece_logits(validation_references, cal_val)))
+        acc.append(float(np.mean(cal_val.argmax(-1) == validation_references)))
+        avg_conf.append(float(softmax(cal_val, -1).max(-1).mean()))
+        temperatures.append(float(scaler.temperature[0]))
+    metrics = {
+        "ece": ece,
+        "accuracy": acc,
+        "temperature": temperatures,
+        "average_confidence": avg_conf,
+    }
+    return calibrated, metrics

@@ -1,0 +1,285 @@
+"""Predictive + calibration + failure-detection metrics.
+
+Self-contained numpy implementations with the same ``metric(y_true, p_hat)``
+API as the reference suite (EE/metrics.py:29-498). The reference's ECE
+delegates to the ``jordyvl/ece`` HF-hub metric with equal-mass binning
+(EE/metrics.py:479-498); that hub metric is reimplemented here locally
+(equal-mass bins, upper-edge proxy, p=1) so no network is needed.
+
+AURC / risk-coverage follows fd-shifts exactly (EE/metrics.py:324-452), and
+the unit tests reproduce the reference's literature cases
+(EE/metrics.py:501-554).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Any, Tuple
+
+import numpy as np
+import scipy.special
+from sklearn import metrics as skm
+
+
+def _softmax_if_logits(p_hat: np.ndarray) -> np.ndarray:
+    p_hat = np.asarray(p_hat)
+    if not np.isclose(np.sum(p_hat), len(p_hat)):
+        p_hat = scipy.special.softmax(p_hat, axis=-1)
+    return p_hat
+
+
+# --------------------------------------------------------------------------
+# basic predictive metrics
+# --------------------------------------------------------------------------
+
+def accuracy(y_true, p_hat):
+    y_pred = np.argmax(p_hat, axis=-1)
+    return skm.accuracy_score(y_true=y_true, y_pred=y_pred)
+
+
+def error(y_true, p_hat):
+    return 1.0 - accuracy(y_true, p_hat)
+
+
+def f1_micro(y_true, p_hat, y_hat=None):
+    if y_hat is None:
+        y_hat = np.argmax(p_hat, axis=-1)
+    return skm.f1_score(y_true, y_hat, average="micro")
+
+
+def f1_macro(y_true, p_hat, y_hat=None):
+    if y_hat is None:
+        y_hat = np.argmax(p_hat, axis=-1)
+    return skm.f1_score(y_true, y_hat, average="macro")
+
+
+def nll(y_true, p_hat):
+    """Multi-class negative log likelihood (sklearn log_loss semantics)."""
+    p_hat = _softmax_if_logits(np.asarray(p_hat, dtype=np.float64))
+    labels = np.arange(p_hat.shape[-1])
+    return skm.log_loss(y_true, p_hat, labels=labels)
+
+
+def brier_loss(y_true, p_hat):
+    """Multi-class Brier score: mean squared distance to the one-hot target."""
+    y_true = np.asarray(y_true)
+    p_hat = np.asarray(p_hat, dtype=np.float64)
+    n, k = len(y_true), p_hat.shape[-1]
+    onehot = np.zeros((n, k))
+    onehot[np.arange(n), y_true] = 1.0
+    p_hat = _softmax_if_logits(p_hat)
+    return float(np.mean(np.sum((p_hat - onehot) ** 2, axis=1)))
+
+
+# --------------------------------------------------------------------------
+# confidence statistics
+# --------------------------------------------------------------------------
+
+def average_confidence(y, p_hat):
+    return float(np.mean(np.max(p_hat, axis=1)))
+
+
+def overconfidence(y, p_hat):
+    y_pred = np.argmax(p_hat, axis=1)
+    p_max = np.max(p_hat, axis=1)
+    return float(np.average(p_max[y_pred != np.asarray(y)]))
+
+
+def underconfidence(y, p_hat):
+    y_pred = np.argmax(p_hat, axis=1)
+    p_max = np.max(p_hat, axis=1)
+    return float(np.average(1 - p_max[y_pred == np.asarray(y)]))
+
+
+def ratio_over_underconfidence(y, p_hat):
+    return overconfidence(y, p_hat) / underconfidence(y, p_hat)
+
+
+def sharpness(y, p_hat, ddof=1):
+    n_classes = np.shape(p_hat)[-1]
+    p_max = np.max(p_hat, axis=1)
+    return float(np.var(p_max, ddof=ddof) * 4 * n_classes**2 / (n_classes - 1) ** 2)
+
+
+# --------------------------------------------------------------------------
+# expected calibration error, equal-mass binning
+# --------------------------------------------------------------------------
+
+def ece_logits(
+    references,
+    predictions,
+    n_bins: int | None = None,
+    scheme: str = "equal-mass",
+    proxy: str = "upper-edge",
+    p: int = 1,
+) -> float:
+    """ECE with equal-mass (quantile) binning.
+
+    Local reimplementation of the ``jordyvl/ece`` hub metric invocation in the
+    reference (EE/metrics.py:483-498): n_bins = min(N-1, 100), equal-mass
+    bins over [0,1], per-bin confidence proxied by the bin's upper edge,
+    L1 (p=1) aggregation weighted by bin mass.
+    """
+    references = np.asarray(references)
+    probs = _softmax_if_logits(np.asarray(predictions, dtype=np.float64))
+    conf = np.max(probs, axis=-1)
+    pred = np.argmax(probs, axis=-1)
+    correct = (pred == references).astype(np.float64)
+    n = len(conf)
+    if n_bins is None:
+        n_bins = min(n - 1, 100)
+    n_bins = max(n_bins, 1)
+
+    if scheme == "equal-mass":
+        # quantile edges over sorted confidences
+        edges = np.interp(
+            np.linspace(0, n, n_bins + 1), np.arange(0, n), np.sort(conf)
+        )
+    else:  # equal-range
+        edges = np.linspace(0.0, 1.0, n_bins + 1)
+
+    # assign to bins by upper edge (right-closed), clamp to valid range
+    idx = np.searchsorted(edges[1:-1], conf, side="left")
+    ece = 0.0
+    for b in range(n_bins):
+        mask = idx == b
+        nb = int(mask.sum())
+        if nb == 0:
+            continue
+        acc_b = float(correct[mask].mean())
+        if proxy == "upper-edge":
+            conf_b = float(edges[b + 1])
+        else:  # mean confidence proxy
+            conf_b = float(conf[mask].mean())
+        ece += (nb / n) * abs(acc_b - conf_b) ** p
+    return float(ece ** (1.0 / p))
+
+
+# --------------------------------------------------------------------------
+# risk-coverage / AURC (fd-shifts), AUROC_f
+# --------------------------------------------------------------------------
+
+AURC_DISPLAY_SCALE = 1
+
+
+@dataclass
+class StatsCache:
+    """Confidence/correctness cache shared across failure-detection metrics
+    (parity: EE/metrics.py:324-378)."""
+
+    confids: np.ndarray
+    correct: np.ndarray
+
+    @cached_property
+    def roc_curve_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        fpr, tpr, _ = skm.roc_curve(self.correct, self.confids)
+        return fpr, tpr
+
+    @property
+    def residuals(self) -> np.ndarray:
+        return 1 - self.correct
+
+    @cached_property
+    def rc_curve_stats(self) -> Tuple[list, list, list]:
+        coverages = []
+        risks = []
+        n_residuals = len(self.residuals)
+        idx_sorted = np.argsort(self.confids)
+
+        coverage = n_residuals
+        error_sum = float(np.sum(self.residuals[idx_sorted]))
+        coverages.append(coverage / n_residuals)
+        risks.append(error_sum / n_residuals)
+
+        weights = []
+        tmp_weight = 0
+        for i in range(0, len(idx_sorted) - 1):
+            coverage -= 1
+            error_sum -= self.residuals[idx_sorted[i]]
+            selective_risk = error_sum / (n_residuals - 1 - i)
+            tmp_weight += 1
+            if i == 0 or self.confids[idx_sorted[i]] != self.confids[idx_sorted[i - 1]]:
+                coverages.append(coverage / n_residuals)
+                risks.append(selective_risk)
+                weights.append(tmp_weight / n_residuals)
+                tmp_weight = 0
+        if tmp_weight > 0:
+            coverages.append(0)
+            risks.append(risks[-1])
+            weights.append(tmp_weight / n_residuals)
+        return coverages, risks, weights
+
+
+def aurc(stats_cache: StatsCache) -> float:
+    """Area under the risk-coverage curve; LOWER is better."""
+    _, risks, weights = stats_cache.rc_curve_stats
+    return (
+        sum((risks[i] + risks[i + 1]) * 0.5 * weights[i] for i in range(len(weights)))
+        * AURC_DISPLAY_SCALE
+    )
+
+
+def failauc(stats_cache: StatsCache) -> float:
+    fpr, tpr = stats_cache.roc_curve_stats
+    return skm.auc(fpr, tpr)
+
+
+def aurc_logits(references, predictions, get_cache=False, use_as_is=False):
+    references = np.asarray(references)
+    predictions = np.asarray(predictions)
+    if not use_as_is:
+        if not np.isclose(np.sum(references), len(references)):
+            references = (np.argmax(predictions, -1) == references).astype(int)
+        if not np.isclose(np.sum(predictions), len(predictions)):
+            predictions = scipy.special.softmax(predictions, axis=-1)
+        if predictions.ndim == 2:
+            predictions = np.max(predictions, -1)
+    cache = StatsCache(confids=predictions, correct=references)
+    if get_cache:
+        return {"aurc": aurc(cache), "cache": cache}
+    return aurc(cache)
+
+
+def AUROC_logits(references, predictions):
+    predictions = np.asarray(predictions)
+    if not np.isclose(np.sum(predictions), len(predictions)):
+        predictions = scipy.special.softmax(predictions, axis=-1)
+    cache = StatsCache(confids=predictions, correct=np.asarray(references))
+    return {"AUROC": failauc(cache)}
+
+
+def AUROC_PR(pred_known, pred_unknown):
+    neg = list(np.max(pred_known, axis=-1))
+    pos = list(np.max(pred_unknown, axis=-1))
+    return compute_auc_aupr(neg, pos, pos_label=0)
+
+
+def compute_auc_aupr(neg, pos, pos_label=1):
+    ys = np.concatenate((np.zeros(len(neg)), np.ones(len(pos))), axis=0)
+    neg = np.array(neg)[~np.isnan(neg)]
+    pos = np.array(pos)[~np.isnan(pos)]
+    scores = np.concatenate((neg, pos), axis=0)
+    auc_ = skm.roc_auc_score(ys, scores)
+    aupr = skm.average_precision_score(ys, scores)
+    if pos_label == 1:
+        return auc_, aupr
+    return 1 - auc_, 1 - aupr
+
+
+# --------------------------------------------------------------------------
+# metric bundle (reference: EE/utils.py:226-237)
+# --------------------------------------------------------------------------
+
+METRICS = [accuracy, brier_loss, nll, f1_micro, f1_macro, ece_logits, aurc_logits]
+
+
+def calc_metrics(predictions, references) -> "dict[str, float]":
+    """The 7-metric predictive suite over a prediction matrix."""
+    predictions = np.asarray(predictions)
+    out = {}
+    for metric in METRICS:
+        out[metric.__name__.replace("_logits", "")] = float(
+            metric(references, predictions)
+        )
+    return out

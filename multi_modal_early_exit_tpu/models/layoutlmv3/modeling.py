@@ -1,0 +1,590 @@
+"""LayoutLMv3 in pure-functional JAX, designed TPU-first.
+
+Numerical parity target: HuggingFace ``LayoutLMv3ForSequenceClassification``
+(the substrate of the reference model, EE/models/LayoutLMv3.py:669) — logits
+must match the torch implementation to float32 tolerance so the reference's
+calibration/policy stack reproduces bit-for-bit downstream.
+
+TPU-first design choices:
+- Parameters are plain nested dicts of ``jnp`` arrays; encoder layers are
+  *stacked* along a leading axis and run with ``lax.scan`` (single compiled
+  layer body, fast compile, natural pjit sharding).
+- The patch embedding is an unfold+matmul (MXU) instead of a conv.
+- The relative 1D/2D attention bias and the additive padding mask are fused
+  into one per-head bias computed once per forward and broadcast over layers
+  (the reference computes them once per forward too: LayoutLMv3.py:170-179).
+- The scan collects each layer's [CLS] state, so early-exit heads can be run
+  batched after the scan instead of branching inside it.
+- Attention softmax: the reference uses the CogView PB-relax trick
+  (modeling_layoutlmv3.py cogview_attention), which is algebraically the
+  standard max-subtracted softmax; ``jax.nn.softmax`` is identical math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import LayoutLMv3Config
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _normal(key, shape, std, dtype):
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def init_linear(key, d_in: int, d_out: int, std: float, dtype=jnp.float32) -> Params:
+    return {
+        "kernel": _normal(key, (d_in, d_out), std, dtype),
+        "bias": jnp.zeros((d_out,), dtype),
+    }
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    return x @ p["kernel"] + p["bias"]
+
+
+def init_layer_norm(d: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
+    # Compute moments in float32 for bf16 safety.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def dropout(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class RngStream:
+    """Deterministic stream of dropout keys (static number of call sites)."""
+
+    def __init__(self, rng: Optional[jax.Array]):
+        self.rng = rng
+        self.count = 0
+
+    def next(self) -> Optional[jax.Array]:
+        if self.rng is None:
+            return None
+        self.count += 1
+        return jax.random.fold_in(self.rng, self.count)
+
+
+# ---------------------------------------------------------------------------
+# text embeddings  (parity: modeling_layoutlmv3.LayoutLMv3TextEmbeddings)
+# ---------------------------------------------------------------------------
+
+def init_text_embeddings(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 7)
+    std = cfg.initializer_range
+    word = _normal(k[0], (cfg.vocab_size, cfg.hidden_size), std, dtype)
+    word = word.at[cfg.pad_token_id].set(0.0)
+    pos = _normal(k[1], (cfg.max_position_embeddings, cfg.hidden_size), std, dtype)
+    pos = pos.at[cfg.pad_token_id].set(0.0)
+    return {
+        "word_embeddings": word,
+        "position_embeddings": pos,
+        "token_type_embeddings": _normal(
+            k[2], (cfg.type_vocab_size, cfg.hidden_size), std, dtype
+        ),
+        "x_position_embeddings": _normal(
+            k[3], (cfg.max_2d_position_embeddings, cfg.coordinate_size), std, dtype
+        ),
+        "y_position_embeddings": _normal(
+            k[4], (cfg.max_2d_position_embeddings, cfg.coordinate_size), std, dtype
+        ),
+        "h_position_embeddings": _normal(
+            k[5], (cfg.max_2d_position_embeddings, cfg.shape_size), std, dtype
+        ),
+        "w_position_embeddings": _normal(
+            k[6], (cfg.max_2d_position_embeddings, cfg.shape_size), std, dtype
+        ),
+        "LayerNorm": init_layer_norm(cfg.hidden_size, dtype),
+    }
+
+
+def create_position_ids_from_input_ids(input_ids: jax.Array, padding_idx: int) -> jax.Array:
+    """RoBERTa-style position ids: padding stays at padding_idx, others count up."""
+    mask = (input_ids != padding_idx).astype(jnp.int32)
+    incremental = jnp.cumsum(mask, axis=1) * mask
+    return incremental + padding_idx
+
+
+def spatial_position_embeddings(p: Params, bbox: jax.Array) -> jax.Array:
+    """Concat of left/upper/right/lower coordinate + h/w shape embeddings
+    (parity: LayoutLMv3TextEmbeddings.calculate_spatial_position_embeddings)."""
+    left = p["x_position_embeddings"][bbox[:, :, 0]]
+    upper = p["y_position_embeddings"][bbox[:, :, 1]]
+    right = p["x_position_embeddings"][bbox[:, :, 2]]
+    lower = p["y_position_embeddings"][bbox[:, :, 3]]
+    h = p["h_position_embeddings"][jnp.clip(bbox[:, :, 3] - bbox[:, :, 1], 0, 1023)]
+    w = p["w_position_embeddings"][jnp.clip(bbox[:, :, 2] - bbox[:, :, 0], 0, 1023)]
+    return jnp.concatenate([left, upper, right, lower, h, w], axis=-1)
+
+
+def embed_text(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    input_ids: jax.Array,
+    bbox: jax.Array,
+    token_type_ids: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rngs: Optional[RngStream] = None,
+) -> jax.Array:
+    if position_ids is None:
+        position_ids = create_position_ids_from_input_ids(input_ids, cfg.pad_token_id)
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    x = p["word_embeddings"][input_ids]
+    x = x + p["token_type_embeddings"][token_type_ids]
+    x = x + p["position_embeddings"][position_ids]
+    x = x + spatial_position_embeddings(p, bbox)
+    x = layer_norm(p["LayerNorm"], x, cfg.layer_norm_eps)
+    x = dropout(x, cfg.hidden_dropout_prob, deterministic,
+                rngs.next() if rngs else None)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# visual embeddings  (parity: LayoutLMv3PatchEmbeddings + forward_image)
+# ---------------------------------------------------------------------------
+
+def init_visual_embeddings(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 2)
+    std = cfg.initializer_range
+    patch_dim = cfg.num_channels * cfg.patch_size * cfg.patch_size
+    n = cfg.num_patches_side
+    return {
+        "patch_embed": init_linear(k[0], patch_dim, cfg.hidden_size, std, dtype),
+        "cls_token": jnp.zeros((1, 1, cfg.hidden_size), dtype),
+        "pos_embed": jnp.zeros((1, n * n + 1, cfg.hidden_size), dtype),
+        "norm": init_layer_norm(cfg.hidden_size, dtype),  # eps 1e-6 in apply
+    }
+
+
+def extract_patches(pixel_values: jax.Array, patch: int) -> jax.Array:
+    """(B, C, H, W) -> (B, h*w, C*patch*patch) with (c, ph, pw) flattening order,
+    matching the torch Conv2d(stride=kernel) weight layout."""
+    b, c, h, w = pixel_values.shape
+    hp, wp = h // patch, w // patch
+    x = pixel_values.reshape(b, c, hp, patch, wp, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, hp, wp, C, patch, patch)
+    return x.reshape(b, hp * wp, c * patch * patch)
+
+
+def embed_vision(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    pixel_values: jax.Array,
+    deterministic: bool = True,
+    rngs: Optional[RngStream] = None,
+) -> jax.Array:
+    """Patch embedding + [CLS] + learned abs position embedding + LayerNorm(eps=1e-6)
+    (parity: LayoutLMv3Model.forward_image; pos_drop has p=0.0)."""
+    patches = extract_patches(pixel_values, cfg.patch_size)
+    x = linear(p["patch_embed"], patches)  # (B, N, H) — MXU matmul
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["cls_token"], (b, 1, cfg.hidden_size)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embed"]
+    x = layer_norm(p["norm"], x, 1e-6)
+    return x
+
+
+def visual_bbox(cfg: LayoutLMv3Config, max_len: int = 1000) -> jnp.ndarray:
+    """Bounding boxes of visual patch tokens on the 0-1000 grid, with the
+    [CLS] box [1,1,999,999] prepended (parity: LayoutLMv3Model.init_visual_bbox)."""
+    size = cfg.num_patches_side
+    edges_x = (jnp.arange(0, max_len * (size + 1), max_len) // size).astype(jnp.int32)
+    edges_y = edges_x
+    x0 = jnp.tile(edges_x[:-1], (size, 1))
+    x1 = jnp.tile(edges_x[1:], (size, 1))
+    y0 = jnp.tile(edges_y[:-1], (size, 1)).T
+    y1 = jnp.tile(edges_y[1:], (size, 1)).T
+    boxes = jnp.stack([x0, y0, x1, y1], axis=-1).reshape(-1, 4)
+    cls_box = jnp.array([[1, 1, max_len - 1, max_len - 1]], dtype=jnp.int32)
+    return jnp.concatenate([cls_box, boxes], axis=0)  # (N+1, 4)
+
+
+# ---------------------------------------------------------------------------
+# relative position bias  (parity: LayoutLMv3Encoder._cal_{1d,2d}_pos_emb)
+# ---------------------------------------------------------------------------
+
+def relative_position_bucket(
+    relative_position: jax.Array, num_buckets: int, max_distance: int
+) -> jax.Array:
+    """Bidirectional T5-style log bucketing; integer semantics match torch."""
+    num_buckets = num_buckets // 2
+    ret = (relative_position > 0).astype(jnp.int32) * num_buckets
+    n = jnp.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    n_safe = jnp.maximum(n, 1)  # avoid log(0); masked out by is_small anyway
+    val_if_large = max_exact + (
+        jnp.log(n_safe.astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def rel_pos_1d_bias(
+    table: jax.Array, cfg: LayoutLMv3Config, position_ids: jax.Array
+) -> jax.Array:
+    """(B, heads, S, S) 1D relative-position bias; ``table`` is (bins, heads)."""
+    rel = position_ids[:, None, :] - position_ids[:, :, None]
+    buckets = relative_position_bucket(rel, cfg.rel_pos_bins, cfg.max_rel_pos)
+    return table[buckets].transpose(0, 3, 1, 2)
+
+
+def rel_pos_2d_bias(
+    table_x: jax.Array, table_y: jax.Array, cfg: LayoutLMv3Config, bbox: jax.Array
+) -> jax.Array:
+    """(B, heads, S, S) spatial bias from x0 and y1 coordinates."""
+    cx = bbox[:, :, 0]
+    cy = bbox[:, :, 3]
+    bx = relative_position_bucket(
+        cx[:, None, :] - cx[:, :, None], cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
+    )
+    by = relative_position_bucket(
+        cy[:, None, :] - cy[:, :, None], cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos
+    )
+    return table_x[bx].transpose(0, 3, 1, 2) + table_y[by].transpose(0, 3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# encoder  (parity: LayoutLMv3Layer / LayoutLMv3Encoder)
+# ---------------------------------------------------------------------------
+
+def init_encoder_layer(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 6)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    std = cfg.initializer_range
+    return {
+        "attention": {
+            "query": init_linear(k[0], h, h, std, dtype),
+            "key": init_linear(k[1], h, h, std, dtype),
+            "value": init_linear(k[2], h, h, std, dtype),
+            "output": init_linear(k[3], h, h, std, dtype),
+            "output_LayerNorm": init_layer_norm(h, dtype),
+        },
+        "intermediate": init_linear(k[4], h, i, std, dtype),
+        "output": init_linear(k[5], i, h, std, dtype),
+        "output_LayerNorm": init_layer_norm(h, dtype),
+    }
+
+
+def init_encoder(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    layers = [init_encoder_layer(keys[i], cfg, dtype) for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    std = cfg.initializer_range
+    params: Params = {"layers": stacked}
+    if cfg.has_relative_attention_bias:
+        params["rel_pos_bias"] = _normal(
+            keys[-3], (cfg.rel_pos_bins, cfg.num_attention_heads), std, dtype
+        )
+    if cfg.has_spatial_attention_bias:
+        params["rel_pos_x_bias"] = _normal(
+            keys[-2], (cfg.rel_2d_pos_bins, cfg.num_attention_heads), std, dtype
+        )
+        params["rel_pos_y_bias"] = _normal(
+            keys[-1], (cfg.rel_2d_pos_bins, cfg.num_attention_heads), std, dtype
+        )
+    return params
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def attention_apply(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    hidden: jax.Array,
+    attn_bias: Optional[jax.Array],
+    deterministic: bool,
+    rng_attn: Optional[jax.Array],
+    rng_out: Optional[jax.Array],
+) -> jax.Array:
+    """Self-attention block with additive bias; reference order of operations:
+    scores = (q/√d)·kᵀ + bias; softmax; dropout; ·v; dense; dropout; LN(res)."""
+    d = cfg.head_dim
+    q = _split_heads(linear(p["query"], hidden), cfg.num_attention_heads)
+    k = _split_heads(linear(p["key"], hidden), cfg.num_attention_heads)
+    v = _split_heads(linear(p["value"], hidden), cfg.num_attention_heads)
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q / math.sqrt(d), k, preferred_element_type=jnp.float32
+    )
+    if attn_bias is not None:
+        scores = scores + attn_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = dropout(probs, cfg.attention_probs_dropout_prob, deterministic, rng_attn)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(hidden.dtype)
+    b, h, s, _ = ctx.shape
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+
+    out = linear(p["output"], ctx)
+    out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
+    return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
+
+def encoder_layer_apply(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    hidden: jax.Array,
+    attn_bias: Optional[jax.Array],
+    deterministic: bool = True,
+    rngs: Optional[Tuple[jax.Array, ...]] = None,
+) -> jax.Array:
+    r = rngs or (None, None, None)
+    attn_out = attention_apply(
+        p["attention"], cfg, hidden, attn_bias, deterministic, r[0], r[1]
+    )
+    inter = jax.nn.gelu(linear(p["intermediate"], attn_out), approximate=False)
+    out = linear(p["output"], inter)
+    out = dropout(out, cfg.hidden_dropout_prob, deterministic, r[2])
+    return layer_norm(p["output_LayerNorm"], out + attn_out, cfg.layer_norm_eps)
+
+
+def encoder_apply(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    hidden: jax.Array,
+    attn_bias: Optional[jax.Array],
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    collect_cls: bool = True,
+    collect_hidden: bool = False,
+):
+    """Run all layers with ``lax.scan`` over stacked layer params.
+
+    Returns ``(final_hidden, cls_per_layer, hidden_per_layer)`` where
+    ``cls_per_layer`` is (L, B, H): the [CLS] state *after* each layer —
+    exactly the exit-head input the reference taps per layer
+    (EE/models/LayoutLMv3.py:226 ``hidden_states[:, 0, :]``).
+    """
+    num_layers = cfg.num_hidden_layers
+    if rng is not None:
+        layer_rngs = jax.random.split(rng, num_layers * 3).reshape(num_layers, 3)
+    else:
+        layer_rngs = None
+
+    def body(carry, xs):
+        h = carry
+        if layer_rngs is not None:
+            layer_p, rs = xs
+            rs = tuple(rs)
+        else:
+            layer_p, rs = xs, None
+        h = encoder_layer_apply(layer_p, cfg, h, attn_bias, deterministic, rs)
+        ys = {}
+        if collect_cls:
+            ys["cls"] = h[:, 0, :]
+        if collect_hidden:
+            ys["hidden"] = h
+        return h, ys
+
+    xs = (p["layers"], layer_rngs) if layer_rngs is not None else p["layers"]
+    final, ys = jax.lax.scan(body, hidden, xs)
+    return final, ys.get("cls"), ys.get("hidden")
+
+
+# ---------------------------------------------------------------------------
+# classification head  (parity: LayoutLMv3ClassificationHead)
+# ---------------------------------------------------------------------------
+
+def init_classifier(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 2)
+    std = cfg.initializer_range
+    return {
+        "dense": init_linear(k[0], cfg.hidden_size, cfg.hidden_size, std, dtype),
+        "out_proj": init_linear(k[1], cfg.hidden_size, cfg.num_labels, std, dtype),
+    }
+
+
+def classifier_apply(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    x: jax.Array,
+    deterministic: bool = True,
+    rngs: Optional[RngStream] = None,
+) -> jax.Array:
+    rate = cfg.classifier_dropout_prob
+    x = dropout(x, rate, deterministic, rngs.next() if rngs else None)
+    x = jnp.tanh(linear(p["dense"], x))
+    x = dropout(x, rate, deterministic, rngs.next() if rngs else None)
+    return linear(p["out_proj"], x)
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 5)
+    params: Params = {
+        "embeddings": init_text_embeddings(k[0], cfg, dtype),
+        "visual": init_visual_embeddings(k[1], cfg, dtype),
+        # post-concat modality LayerNorm (LayoutLMv3Model.LayerNorm)
+        "LayerNorm": init_layer_norm(cfg.hidden_size, dtype),
+        "encoder": init_encoder(k[2], cfg, dtype),
+        "classifier": init_classifier(k[3], cfg, dtype),
+    }
+    return params
+
+
+def make_attention_bias(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    position_ids: jax.Array,
+    bbox: jax.Array,
+    attention_mask: Optional[jax.Array],
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Fused additive bias: (rel_pos + rel_2d_pos)/√d + padding mask.
+
+    The reference adds the biases scaled by 1/√d inside attention
+    (modeling_layoutlmv3.py LayoutLMv3SelfAttention.forward) and a
+    (1-mask)·finfo.min extended mask; combining them here lets XLA hoist the
+    whole bias out of the layer scan.
+    """
+    enc = p["encoder"]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    if cfg.has_relative_attention_bias:
+        bias = bias + rel_pos_1d_bias(enc["rel_pos_bias"].astype(jnp.float32), cfg, position_ids) * scale
+    if cfg.has_spatial_attention_bias:
+        bias = bias + rel_pos_2d_bias(
+            enc["rel_pos_x_bias"].astype(jnp.float32),
+            enc["rel_pos_y_bias"].astype(jnp.float32),
+            cfg,
+            bbox,
+        ) * scale
+    if attention_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg
+        bias = bias + mask_bias[:, None, None, :]
+    return bias.astype(dtype)
+
+
+@dataclasses.dataclass
+class BackboneOutput:
+    """Seams needed by the EE model (mirrors EEModelOutput fields that matter)."""
+
+    last_hidden_state: jax.Array  # (B, S, H)
+    cls_per_layer: Optional[jax.Array]  # (L, B, H)
+    visual_embeddings: jax.Array  # (B, Sv, H) pre-concat
+    text_embeddings: Optional[jax.Array]  # (B, St, H) pre-concat
+    combined_embeddings: jax.Array  # (B, S, H) post LN+dropout (encoder input)
+    hidden_per_layer: Optional[jax.Array] = None  # (L, B, S, H)
+
+
+def backbone_apply(
+    params: Params,
+    cfg: LayoutLMv3Config,
+    input_ids: jax.Array,
+    bbox: jax.Array,
+    pixel_values: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    collect_cls: bool = True,
+    collect_hidden: bool = False,
+) -> BackboneOutput:
+    """Full multimodal backbone (parity: LayoutLMv3Model.forward with both
+    text and image inputs, the only configuration the reference exercises)."""
+    rngs = RngStream(rng)
+    b, s_t = input_ids.shape
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s_t), jnp.int32)
+
+    text_emb = embed_text(
+        params["embeddings"], cfg, input_ids, bbox,
+        deterministic=deterministic, rngs=rngs,
+    )
+    vis_emb = embed_vision(
+        params["visual"], cfg, pixel_values, deterministic=deterministic, rngs=rngs
+    )
+    s_v = vis_emb.shape[1]
+
+    combined = jnp.concatenate([text_emb, vis_emb], axis=1)
+    combined = layer_norm(params["LayerNorm"], combined, cfg.layer_norm_eps)
+    combined = dropout(combined, cfg.hidden_dropout_prob, deterministic, rngs.next())
+
+    # final bbox / position ids / mask over the concatenated sequence
+    vis_bbox = jnp.broadcast_to(visual_bbox(cfg)[None], (b, s_v, 4))
+    final_bbox = jnp.concatenate([bbox, vis_bbox], axis=1)
+    text_pos = jnp.broadcast_to(jnp.arange(s_t, dtype=jnp.int32)[None], (b, s_t))
+    vis_pos = jnp.broadcast_to(jnp.arange(s_v, dtype=jnp.int32)[None], (b, s_v))
+    final_position_ids = jnp.concatenate([text_pos, vis_pos], axis=1)
+    full_mask = jnp.concatenate(
+        [attention_mask, jnp.ones((b, s_v), attention_mask.dtype)], axis=1
+    )
+
+    attn_bias = make_attention_bias(
+        params, cfg, final_position_ids, final_bbox, full_mask
+    )
+
+    final, cls_per_layer, hidden_per_layer = encoder_apply(
+        params["encoder"], cfg, combined, attn_bias,
+        deterministic=deterministic, rng=rngs.next(),
+        collect_cls=collect_cls, collect_hidden=collect_hidden,
+    )
+
+    return BackboneOutput(
+        last_hidden_state=final,
+        cls_per_layer=cls_per_layer,
+        visual_embeddings=vis_emb,
+        text_embeddings=text_emb,
+        combined_embeddings=combined,
+        hidden_per_layer=hidden_per_layer,
+    )
+
+
+def forward_sequence_classification(
+    params: Params,
+    cfg: LayoutLMv3Config,
+    input_ids: jax.Array,
+    bbox: jax.Array,
+    pixel_values: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dense (no-exit) classification logits
+    (parity: LayoutLMv3ForSequenceClassification.forward)."""
+    out = backbone_apply(
+        params, cfg, input_ids, bbox, pixel_values, attention_mask,
+        deterministic=deterministic, rng=rng, collect_cls=False,
+    )
+    rngs = RngStream(jax.random.fold_in(rng, 10_000) if rng is not None else None)
+    return classifier_apply(
+        params["classifier"], cfg, out.last_hidden_state[:, 0, :],
+        deterministic=deterministic, rngs=rngs,
+    )
