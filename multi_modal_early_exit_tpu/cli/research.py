@@ -1,0 +1,91 @@
+"""Offline threshold-mixture research CLI (parity: EE/thresh.py __main__ and
+EE/large_scale.py __main__).
+
+    python -m multi_modal_early_exit_tpu.cli.research \
+        --checkpoint-dir results/<ckpt>-<ds> --num-mixtures 1000000 \
+        --backend native
+
+Loads a dumped logit store, generates per-exit percentile threshold grids and
+random mixtures, evaluates (accuracy, average_exit) for every mixture with
+the fastest available backend (C++/OpenMP > jax vmap > numpy), and saves the
+Pareto frontier + full results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from multi_modal_early_exit_tpu.evaluation.thresholds import (
+    mixture_pareto_sweep,
+)
+from multi_modal_early_exit_tpu.utils.artifacts import load_npz, save_json
+from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+
+def pareto_front(accuracy: np.ndarray, average_exit: np.ndarray) -> np.ndarray:
+    """Indices of the Pareto-optimal mixtures (max accuracy, min avg exit)."""
+    order = np.lexsort((-accuracy, average_exit))
+    best = -np.inf
+    keep = []
+    for i in order:
+        if accuracy[i] > best:
+            best = accuracy[i]
+            keep.append(int(i))
+    return np.asarray(keep)
+
+
+def main(argv: Optional[list] = None) -> dict:
+    parser = argparse.ArgumentParser(description="threshold mixture research")
+    parser.add_argument("--checkpoint-dir", required=True,
+                        help="results dir with exit_logits-test.npz")
+    parser.add_argument("--num-mixtures", type=int, default=1_000_000)
+    parser.add_argument("--num-per-exit", type=int, default=10)
+    parser.add_argument("--csf", default="msp",
+                        choices=["msp", "entropy", "margin"])
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "native", "jax", "numpy"])
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    logits = load_npz(os.path.join(args.checkpoint_dir, "exit_logits-test.npz"))
+    references = load_npz(
+        os.path.join(args.checkpoint_dir, "references-test.npz")
+    )
+
+    t0 = time.perf_counter()
+    result = mixture_pareto_sweep(
+        logits, references,
+        num_mixtures=args.num_mixtures, num_per_exit=args.num_per_exit,
+        csf=args.csf, seed=args.seed, backend=args.backend,
+    )
+    dt = time.perf_counter() - t0
+    logger_message(
+        f"{args.num_mixtures} mixtures in {dt:.1f}s "
+        f"({args.num_mixtures / dt:.0f}/s, backend={args.backend})"
+    )
+
+    front = pareto_front(result["accuracy"], result["average_exit"])
+    out = {
+        "num_mixtures": args.num_mixtures,
+        "csf": args.csf,
+        "seconds": dt,
+        "pareto": [
+            {
+                "accuracy": float(result["accuracy"][i]),
+                "average_exit": float(result["average_exit"][i]),
+                "thresholds": result["thresholds"][i].tolist(),
+            }
+            for i in front
+        ],
+    }
+    save_json(os.path.join(args.checkpoint_dir, "mixture_search.json"), out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Training entry point (parity: EE/IC_only.py).
+
+Usage (mirrors the reference's sacred CLI):
+
+    python -m multi_modal_early_exit_tpu.cli.train with layoutlmv3 \
+        model=EElayoutlmv3 dataset=synthetic_rvl_cdip epochs=2 \
+        exits=text_avg,vision_avg,7 training_strategy=one_stage_subgraphs_weighted
+
+Pipeline: seed -> build model -> build 3 dataset splits -> train with the
+configured EE strategy -> evaluate on test (per-exit accuracies) -> save
+checkpoint.  Replaces HF Trainer with the optax/pjit EETrainer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from multi_modal_early_exit_tpu.config.experiment import (
+    ExperimentConfig,
+    parse_cli,
+)
+from multi_modal_early_exit_tpu.data import (
+    accumulation_layout,
+    build_dataset,
+    iterate_batches,
+)
+from multi_modal_early_exit_tpu.models.registry import build_model
+from multi_modal_early_exit_tpu.parallel.mesh import create_mesh
+from multi_modal_early_exit_tpu.parallel.sharding import shard_batch, shard_params
+from multi_modal_early_exit_tpu.training.checkpoint import CheckpointManager
+from multi_modal_early_exit_tpu.training.trainer import (
+    EETrainer,
+    TrainingArguments,
+)
+from multi_modal_early_exit_tpu.utils.logging import logger_message
+from multi_modal_early_exit_tpu.utils.seeding import seed_everything
+from multi_modal_early_exit_tpu.utils.wandb_compat import init_wandb
+
+
+def main(argv: Optional[list] = None) -> Dict[str, float]:
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    root_rng = seed_everything(cfg.seed)
+    run = init_wandb(cfg.to_dict()) if cfg.use_wandb else None
+
+    name = cfg.dataset
+    train_ds = build_dataset(name, "train")
+    val_ds = build_dataset(name, "validation")
+    test_ds = build_dataset(name, "test")
+    if cfg.downsampling:
+        train_ds = train_ds.downsample(cfg.downsampling)
+
+    model_cfg, params = build_model(
+        cfg, num_labels=train_ds.num_labels,
+        num_hidden_layers=None,
+        image_size=train_ds.arrays["pixel_values"].shape[-1],
+        seq_len=train_ds.arrays["input_ids"].shape[-1],
+        rng=root_rng,
+    )
+
+    mesh = None
+    if int(np.prod(cfg.mesh_shape)) > 1:
+        mesh = create_mesh(cfg.mesh_shape)
+        params = shard_params(params, mesh)
+
+    accum = max(cfg.gradient_accumulation_steps, 1)
+    global_batch = cfg.batch_size * accum
+    steps_per_epoch = max(len(train_ds) // global_batch, 1)
+    total_steps = steps_per_epoch * cfg.epochs
+
+    args = TrainingArguments(
+        learning_rate=cfg.lr,
+        num_epochs=cfg.epochs,
+        train_batch_size=cfg.batch_size,
+        eval_batch_size=cfg.eval_batch_size,
+        gradient_accumulation_steps=accum,
+        warmup_ratio=cfg.warmup_ratio,
+        weight_decay=cfg.weight_decay,
+        alpha=cfg.alpha,
+        temperature=cfg.temperature,
+        gamma=cfg.gamma,
+        seed=cfg.seed,
+    )
+    trainer = EETrainer(model_cfg, params, args, total_steps, mesh=mesh)
+    manager = CheckpointManager(
+        os.path.join(cfg.output_dir, experiment_name(cfg)), keep=3
+    )
+
+    logger_message(
+        f"Training {cfg.model} on {name}: {cfg.epochs} epochs x "
+        f"{steps_per_epoch} steps (global batch {global_batch})"
+    )
+    rng = jax.random.fold_in(root_rng, 1)
+    t0 = time.perf_counter()
+    for epoch in range(cfg.epochs):
+        losses = []
+        for batch in iterate_batches(
+            train_ds, global_batch, shuffle=True, seed=cfg.seed, epoch=epoch,
+            drop_last=True,
+        ):
+            batch.pop("sample_mask", None)
+            batch = accumulation_layout(batch, accum)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            loss, _ = trainer.train_step(batch, step_rng)
+            losses.append(loss)
+        metrics = trainer.evaluate(
+            iterate_batches(val_ds, cfg.eval_batch_size or 8)
+        )
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        logger_message(
+            f"epoch {epoch}: loss={mean_loss:.4f} "
+            f"val_accuracy={metrics['accuracy']:.4f}"
+        )
+        if run is not None:
+            run.log({"epoch": epoch, "loss": mean_loss, **metrics})
+        manager.save(
+            epoch, trainer.params, config=cfg.to_dict(),
+            metric=metrics["accuracy"],
+        )
+
+    test_metrics = trainer.evaluate(
+        iterate_batches(test_ds, cfg.eval_batch_size or 8)
+    )
+    logger_message(
+        f"done in {time.perf_counter() - t0:.1f}s; test metrics: {test_metrics}"
+    )
+    if run is not None:
+        run.log({f"test_{k}": v for k, v in test_metrics.items()})
+        run.finish()
+    return test_metrics
+
+
+def experiment_name(cfg: ExperimentConfig) -> str:
+    """Run naming (reference: EE/IC_only.py:132-139 + configs.nameit)."""
+    exits = cfg.exits if isinstance(cfg.exits, str) else ",".join(
+        str(e) for e in cfg.exits
+    )
+    return (
+        f"{cfg.model}_{cfg.dataset.split('/')[-1]}_"
+        f"{cfg.training_strategy}_{exits}".replace(",", "-")
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -305,10 +305,26 @@ DATASET_BUILDERS: Dict[str, Callable[..., DocClassificationDataset]] = {
 }
 
 
+def dataset_spec(name: str) -> "tuple[str, dict]":
+    """Resolve a user-facing dataset name to (registry key, builder kwargs).
+
+    ``synthetic_rvl_cdip_tiny`` is the debugEE-style small config (tiny
+    shapes, 4 labels) used by tests and smoke runs.
+    """
+    if name == "synthetic_rvl_cdip_tiny":
+        return "synthetic_rvl_cdip", dict(
+            n_train=16, n_eval=8, num_labels=4, seq_len=64, image_size=32
+        )
+    if name.startswith("synthetic"):
+        return "synthetic_rvl_cdip", {}
+    return name, {}
+
+
 def build_dataset(name: str, split: str, **kwargs) -> DocClassificationDataset:
     """Registry dispatch (parity: EE/configs.py:233-358)."""
-    if name not in DATASET_BUILDERS:
+    key, base_kwargs = dataset_spec(name)
+    if key not in DATASET_BUILDERS:
         raise ValueError(
             f"unknown dataset {name!r}; available: {sorted(DATASET_BUILDERS)}"
         )
-    return DATASET_BUILDERS[name](split, **kwargs)
+    return DATASET_BUILDERS[key](split, **{**base_kwargs, **kwargs})

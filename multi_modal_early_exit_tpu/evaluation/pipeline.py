@@ -1,0 +1,255 @@
+"""Evaluation pipeline: logit harvesting, calibration, policy sweeps.
+
+Capability parity with the reference eval stack:
+
+- ``get_logits``          EE/utils.py:125-223 — but batched (the reference
+                          assumes eval batch size 1, EE/utils.py:188-193);
+                          npz caching keyed by checkpoint+dataset dir
+- ``calibrate``           EE/eval.py:277-346 — per-exit temperature scaling
+                          fit on validation logits, calibrated npz cache,
+                          calibration_metrics recorded into the config
+- ``eval_model``          EE/eval.py:87-110 — policy → metrics + efficiency
+- ``evaluate_checkpoint`` EE/eval.py:163-224 — fixed-exit metrics + a
+                          threshold sweep over cached logits (vectorized)
+- ``full_test_iteration`` EE/eval.py:227-274 — threshold sweep with
+                          per-threshold failure isolation, results JSON per
+                          policy directory
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import scipy.special
+
+from multi_modal_early_exit_tpu.data.datasets import DocClassificationDataset
+from multi_modal_early_exit_tpu.data.loader import iterate_batches
+from multi_modal_early_exit_tpu.evaluation.analysis import Analysis, calc_flops
+from multi_modal_early_exit_tpu.evaluation.calibration import TemperatureScaler
+from multi_modal_early_exit_tpu.evaluation.metrics import calc_metrics, ece_logits
+from multi_modal_early_exit_tpu.evaluation.policy import Policy
+from multi_modal_early_exit_tpu.evaluation.thresholds import (
+    vectorized_global_sweep,
+)
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
+from multi_modal_early_exit_tpu.utils.artifacts import (
+    config_to_checkpoint,
+    dump_logits,
+    load_json,
+    load_npz,
+    save_json,
+)
+from multi_modal_early_exit_tpu.utils.logging import logger_message
+from multi_modal_early_exit_tpu.utils.meters import AverageMeter
+
+
+def get_logits(
+    params,
+    cfg: EEModelConfig,
+    dataset: DocClassificationDataset,
+    config: Dict,
+    batch_size: int = 8,
+    root: str = "results",
+    use_cache: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+    """Harvest the (E+1, N, K) per-exit logit store for a whole split.
+
+    One jitted batched forward per batch; the store layout and float64 dtype
+    match the reference dump contract (EE/utils.py:160-164) so npz artifacts
+    are interchangeable.
+    """
+    import jax
+
+    from multi_modal_early_exit_tpu.models.ee.model import ee_forward
+
+    name = config.get("labelset", dataset.split)
+    output_path = config_to_checkpoint(config, root=root)
+    logits_file = os.path.join(output_path, f"exit_logits-{name}.npz")
+    refs_file = os.path.join(output_path, f"references-{name}.npz")
+    if use_cache and os.path.exists(logits_file) and os.path.exists(refs_file):
+        logger_message(f"Loading cached logits from {output_path}", type="warning")
+        return load_npz(logits_file), load_npz(refs_file), {}
+
+    fwd = jax.jit(
+        lambda p, ids, bbox, pv, m: ee_forward(
+            p, cfg, ids, bbox, pv, m
+        ).policy_logits()
+    )
+
+    batch_time = AverageMeter()
+    stores, refs = [], []
+    end = time.perf_counter()
+    for batch in iterate_batches(dataset, batch_size):
+        store = np.asarray(
+            fwd(params, batch["input_ids"], batch["bbox"],
+                batch["pixel_values"], batch["attention_mask"])
+        )
+        keep = batch["sample_mask"] > 0
+        stores.append(store[:, keep])
+        refs.append(batch["labels"][keep])
+        batch_time.update(time.perf_counter() - end)
+        end = time.perf_counter()
+
+    logits_store = np.concatenate(stores, axis=1).astype(np.float64)
+    references = np.concatenate(refs)
+    stats = {
+        "batch_time_avg": batch_time.avg,
+        "docs_per_sec": len(references) / max(batch_time.sum, 1e-9),
+    }
+    return logits_store, references, stats
+
+
+def calibrate(
+    test_logits: np.ndarray,
+    validation_logits: np.ndarray,
+    validation_references: np.ndarray,
+    config: Dict,
+    root: str = "results",
+    use_cache: bool = True,
+) -> np.ndarray:
+    """Per-exit temperature scaling (EE/eval.py:277-346).
+
+    Fits one temperature per exit on validation logits (scipy L-BFGS-B, same
+    optimizer as the reference for threshold parity), applies to the test
+    store, records calibration_metrics {ece, accuracy, temperature,
+    average_confidence} into ``config`` for accuracy_calibration_heuristic.
+    """
+    output_path = config_to_checkpoint(config, root=root)
+    cal_file = os.path.join(output_path, "exit_logits-calibrated.npz")
+    if use_cache and os.path.exists(cal_file):
+        logger_message(f"Loading calibrated logits from {output_path}",
+                       type="warning")
+        calibrated = load_npz(cal_file)
+        cfg_file = os.path.join(output_path, "config.json")
+        if os.path.exists(cfg_file):
+            cached = load_json(cfg_file)
+            if "calibration_metrics" in cached:
+                config["calibration_metrics"] = cached["calibration_metrics"]
+        return np.asarray(calibrated)
+
+    calibrated = np.zeros_like(test_logits)
+    temperatures, eces, accuracies, avg_conf = [], [], [], []
+    nr_exits = test_logits.shape[0]
+    for i in range(nr_exits):
+        scaler = TemperatureScaler()
+        scaler.fit(validation_references, validation_logits[i])
+        calibrated[i] = scaler.temperature_scale(test_logits[i])
+        # post-calibration metrics are computed on *validation* (the
+        # reference uses them to derive per-exit thresholds, EE/policy.py:71)
+        val_cal = scaler.temperature_scale(validation_logits[i])
+        eces.append(float(ece_logits(validation_references, val_cal)))
+        accuracies.append(
+            float(np.mean(val_cal.argmax(-1) == validation_references))
+        )
+        avg_conf.append(
+            float(scipy.special.softmax(val_cal, -1).max(-1).mean())
+        )
+        temperatures.append(float(scaler.temperature[0]))
+
+    config["calibration_metrics"] = {
+        "ece": eces,
+        "accuracy": accuracies,
+        "temperature": temperatures,
+        "average_confidence": avg_conf,
+    }
+    dump_logits(calibrated, None, config, name="calibrated", root=root)
+    return calibrated
+
+
+def eval_model(
+    logits: np.ndarray,
+    references: np.ndarray,
+    config: Dict,
+    analysis: Optional[Analysis] = None,
+) -> Dict[str, object]:
+    """Apply the configured exit policy; return predictive metrics +
+    efficiency log (EE/eval.py:87-110)."""
+    policy = Policy(logits=logits, config=config)
+    exits_store, predictions, exit_distribution = getattr(
+        policy, config["exit_policy"]
+    )()
+    to_log: Dict[str, object] = {}
+    to_log.update(calc_metrics(predictions, references))
+    if analysis is not None:
+        to_log.update(calc_flops(exit_distribution, analysis, config))
+    else:
+        to_log["exit_distribution"] = exit_distribution
+        to_log["exit_threshold"] = config.get("exit_threshold")
+    to_log["average_exit"] = float(np.mean(exits_store))
+    return to_log
+
+
+def full_test_iteration(
+    logits: np.ndarray,
+    references: np.ndarray,
+    config: Dict,
+    start_threshold: float,
+    step: float,
+    analysis: Optional[Analysis] = None,
+    root: str = "results",
+    log_fn: Optional[Callable[[Dict], None]] = None,
+) -> list:
+    """Threshold sweep with per-threshold failure isolation
+    (EE/eval.py:227-274). Results saved to
+    ``<results>/<ckpt>-<ds>/<policy>/{non-,}calibrated-metrics.json``."""
+    thresholds = np.arange(start_threshold, 1, step)
+    results = []
+    for threshold in thresholds:
+        threshold = float(threshold)
+        if config["exit_policy"] == "accuracy_calibration_heuristic":
+            config["epsilon"] = threshold
+        else:
+            config["exit_threshold"] = threshold
+        try:
+            logs = eval_model(logits, references, config, analysis)
+            if log_fn is not None:
+                log_fn(logs)
+            results.append(logs)
+        except Exception as e:  # isolate one failing threshold
+            logger_message(
+                f"FAILED EXPERIMENT at threshold {threshold} due to {e}",
+                type="error",
+            )
+    out_dir = os.path.join(
+        config_to_checkpoint(config, root=root), config["exit_policy"]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    name = "calibrated" if config.get("calibrate") else "non-calibrated"
+    save_json(os.path.join(out_dir, f"{name}-metrics.json"), results)
+    return results
+
+
+def evaluate_checkpoint(checkpoint_dir: str, args: Optional[Dict] = None) -> Dict:
+    """Offline evaluation over a dumped logit store (EE/eval.py:163-224):
+    fixed-exit metrics per exit + a vectorized threshold sweep."""
+    config = load_json(os.path.join(checkpoint_dir, "config.json"))
+    if args:
+        config.update(args)
+    references = load_npz(os.path.join(checkpoint_dir, "references-test.npz"))
+    exit_logits = load_npz(os.path.join(checkpoint_dir, "exit_logits-test.npz"))
+
+    fixed = OrderedDict()
+    for exit_id in range(exit_logits.shape[0]):
+        for key, value in calc_metrics(exit_logits[exit_id], references).items():
+            fixed[f"exit_{exit_id}_{key}"] = value
+
+    thresholds = np.round(np.arange(0, 1, 0.01), 2)
+    preds, exits = vectorized_global_sweep(exit_logits, thresholds)
+    adaptive = OrderedDict()
+    adaptive_exits = OrderedDict()
+    for t, threshold in enumerate(sorted(thresholds, reverse=True)):
+        for key, value in calc_metrics(preds[t], references).items():
+            adaptive[f"threshold_{threshold}_{key}"] = value
+        adaptive_exits[f"threshold_{threshold}_exits"] = exits[t].tolist()
+
+    results = {
+        "fixed": fixed,
+        "adaptive": adaptive,
+        "adaptive_exits": adaptive_exits,
+    }
+    save_json(os.path.join(checkpoint_dir, "results.json"), results)
+    return results

@@ -1,0 +1,126 @@
+"""Model registry/builder (parity: ``build_model``, EE/configs.py:361-515).
+
+Model names supported by the reference and their equivalents here:
+
+- ``EElayoutlmv3``   early-exit LayoutLMv3 (the flagship)
+- ``LTElayoutlmv3``  EE LayoutLMv3 with learning-to-exit heads enabled
+                     (the reference's default model name whose class file is
+                     missing — LTE actually lives in the encoder; here it is
+                     simply use_lte=True)
+- ``layoutlmv3``     dense LayoutLMv3 classifier, no exits
+- ``dit`` / ``dit_rvl``  image-only ViT-style classifier (vision tower only)
+- ``bert``           text-only encoder classifier (no visual tokens, no 2D
+                     bias)
+- ``layoutlmv2``     approximated by the layoutlmv3 architecture (the
+                     reference only uses it through HF AutoModel; the fused
+                     text+layout+vision design here subsumes it)
+- ``pix2struct``     NotImplementedError (parity: EE/configs.py:508)
+
+When a HuggingFace torch checkpoint is available locally (zero-egress cache),
+``model_weights`` is converted into the pytree via convert.py; otherwise
+parameters are randomly initialized.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+    EEModelConfig,
+    LayoutLMv3Config,
+)
+
+Params = Dict[str, Any]
+
+MODEL_NAMES = (
+    "EElayoutlmv3", "LTElayoutlmv3", "layoutlmv3", "dit", "dit_rvl",
+    "bert", "layoutlmv2", "pix2struct",
+)
+
+
+def _backbone_config(
+    cfg, num_labels: int, image_size: Optional[int], seq_len: Optional[int]
+) -> LayoutLMv3Config:
+    bb = LayoutLMv3Config.base(num_labels=num_labels)
+    if image_size and image_size != bb.input_size:
+        bb = bb.replace(input_size=image_size)
+    if seq_len and seq_len > bb.max_position_embeddings - 2:
+        bb = bb.replace(max_position_embeddings=seq_len + 2)
+    return bb
+
+
+def _maybe_load_pretrained(bb: LayoutLMv3Config, weights: str) -> Optional[Params]:
+    """Convert a locally-cached torch checkpoint; None when unavailable."""
+    try:
+        import torch  # noqa: F401
+        from transformers import LayoutLMv3Model
+
+        from multi_modal_early_exit_tpu.models.layoutlmv3.convert import (
+            convert_torch_state_dict,
+        )
+
+        hf = LayoutLMv3Model.from_pretrained(weights, local_files_only=True)
+        return convert_torch_state_dict(hf.state_dict(), bb, prefix="")
+    except Exception:
+        return None
+
+
+def build_model(
+    cfg,
+    num_labels: int = 16,
+    num_hidden_layers: Optional[int] = None,
+    image_size: Optional[int] = None,
+    seq_len: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[EEModelConfig, Params]:
+    """Build (model config, params) from an ExperimentConfig-like object."""
+    from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import init_params
+
+    name = cfg.model
+    if name not in MODEL_NAMES:
+        raise ValueError(f"unknown model {name!r}; available: {MODEL_NAMES}")
+    if name == "pix2struct":
+        raise NotImplementedError(
+            "pix2struct is not implemented (parity: EE/configs.py:508)"
+        )
+
+    rng = rng if rng is not None else jax.random.key(cfg.seed)
+    bb = _backbone_config(cfg, num_labels, image_size, seq_len)
+    if num_hidden_layers:
+        bb = bb.replace(num_hidden_layers=num_hidden_layers)
+
+    if name in ("dit", "dit_rvl"):
+        # image-only: no text embeddings used at runtime; disable the 1D/2D
+        # relative bias like a plain ViT
+        bb = bb.replace(
+            has_relative_attention_bias=False, has_spatial_attention_bias=False
+        )
+    if name == "bert":
+        bb = bb.replace(has_spatial_attention_bias=False)
+
+    exit_cfg = cfg.exit_config() if hasattr(cfg, "exit_config") else ExitConfig()
+    if name == "LTElayoutlmv3":
+        exit_cfg = ExitConfig(**{**exit_cfg.to_dict(), "use_lte": True})
+    if name in ("layoutlmv3", "dit", "dit_rvl", "bert", "layoutlmv2"):
+        # dense models: no exits
+        model_cfg = EEModelConfig(backbone=bb, exit=ExitConfig(exits=()))
+        params: Params = {"backbone": init_params(rng, bb)}
+    else:
+        model_cfg = EEModelConfig(backbone=bb, exit=exit_cfg)
+        params = init_ee_params(rng, model_cfg)
+
+    weights = getattr(cfg, "model_weights", "") or ""
+    if weights and bb.input_size == 224:
+        pretrained = _maybe_load_pretrained(bb, weights)
+        if pretrained is not None:
+            classifier = params["backbone"].get("classifier")
+            pretrained["classifier"] = classifier
+            params["backbone"] = jax.tree.map(
+                jnp.asarray, pretrained
+            )
+    return model_cfg, params
