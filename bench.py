@@ -17,10 +17,19 @@ the north-star target is vs_baseline >= 5.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# Persistent compilation cache: the Pallas attention kernel takes minutes to
+# compile through the remote-TPU tunnel; cache it across processes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_GPU_DOCS_PER_SEC = 32.0
 
@@ -76,7 +85,8 @@ def main() -> None:
             # fold the step index into the inputs so XLA cannot CSE the
             # K iterations into one
             ids = jnp.where(mask > 0, (input_ids + k) % bb.vocab_size, input_ids)
-            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
+            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask,
+                             seq_pad_multiple=128)
             store = out.policy_logits()
             return carry + store.astype(jnp.float32).sum(), None
 

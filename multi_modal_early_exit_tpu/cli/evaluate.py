@@ -86,6 +86,7 @@ def main(argv: Optional[list] = None) -> Dict:
     logits, references, stats = get_logits(
         params, model_cfg, test_ds, config,
         batch_size=max(cfg.eval_batch_size, 1),
+        benchmark_ocr=bool(cfg.benchmark_OCR),
     )
     if stats:
         logger_message(f"harvest: {stats}")

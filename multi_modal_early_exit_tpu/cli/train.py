@@ -91,39 +91,56 @@ def main(argv: Optional[list] = None) -> Dict[str, float]:
         os.path.join(cfg.output_dir, experiment_name(cfg)), keep=3
     )
 
+    start_epoch = 0
+    if cfg.checkpoint and os.path.isdir(cfg.checkpoint):
+        # resume: restore params (+ epoch counter) from a prior run
+        from multi_modal_early_exit_tpu.training.checkpoint import (
+            load_checkpoint,
+        )
+
+        restored, _, _, step = load_checkpoint(cfg.checkpoint)
+        trainer.params = restored
+        start_epoch = (step or 0) + 1
+        logger_message(f"resumed from {cfg.checkpoint} at epoch {start_epoch}")
+
     logger_message(
         f"Training {cfg.model} on {name}: {cfg.epochs} epochs x "
         f"{steps_per_epoch} steps (global batch {global_batch})"
     )
     rng = jax.random.fold_in(root_rng, 1)
     t0 = time.perf_counter()
-    for epoch in range(cfg.epochs):
-        losses = []
-        for batch in iterate_batches(
-            train_ds, global_batch, shuffle=True, seed=cfg.seed, epoch=epoch,
-            drop_last=True,
-        ):
-            batch.pop("sample_mask", None)
-            batch = accumulation_layout(batch, accum)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            rng, step_rng = jax.random.split(rng)
-            loss, _ = trainer.train_step(batch, step_rng)
-            losses.append(loss)
-        metrics = trainer.evaluate(
-            iterate_batches(val_ds, cfg.eval_batch_size or 8)
-        )
-        mean_loss = float(np.mean(losses)) if losses else float("nan")
-        logger_message(
-            f"epoch {epoch}: loss={mean_loss:.4f} "
-            f"val_accuracy={metrics['accuracy']:.4f}"
-        )
-        if run is not None:
-            run.log({"epoch": epoch, "loss": mean_loss, **metrics})
-        manager.save(
-            epoch, trainer.params, config=cfg.to_dict(),
-            metric=metrics["accuracy"],
-        )
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            losses = []
+            for batch in iterate_batches(
+                train_ds, global_batch, shuffle=True, seed=cfg.seed,
+                epoch=epoch, drop_last=True,
+            ):
+                batch.pop("sample_mask", None)
+                batch = accumulation_layout(batch, accum)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                rng, step_rng = jax.random.split(rng)
+                loss, _ = trainer.train_step(batch, step_rng)
+                losses.append(loss)
+            metrics = trainer.evaluate(
+                iterate_batches(val_ds, cfg.eval_batch_size or 8)
+            )
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            logger_message(
+                f"epoch {epoch}: loss={mean_loss:.4f} "
+                f"val_accuracy={metrics['accuracy']:.4f}"
+            )
+            if run is not None:
+                run.log({"epoch": epoch, "loss": mean_loss, **metrics})
+            manager.save(
+                epoch, trainer.params, config=cfg.to_dict(),
+                metric=metrics["accuracy"],
+            )
+    except KeyboardInterrupt:
+        # manual stop still proceeds to test evaluation + final save
+        # (parity: EE/IC_only.py:210-217)
+        logger_message("interrupted — evaluating current model", "warning")
 
     test_metrics = trainer.evaluate(
         iterate_batches(test_ds, cfg.eval_batch_size or 8)
@@ -135,6 +152,20 @@ def main(argv: Optional[list] = None) -> Dict[str, float]:
         run.log({f"test_{k}": v for k, v in test_metrics.items()})
         run.finish()
     return test_metrics
+
+
+def debug_step(trainer: EETrainer, batch, rng, n_steps: int = 5) -> list:
+    """Tiny overfit harness: n optimizer steps on ONE batch, returning the
+    loss trajectory (parity: EE/IC_only.py:40-62 debug_step). The loss must
+    drop on a working setup — the quickest smoke test for a new config."""
+    import jax
+
+    losses = []
+    for i in range(n_steps):
+        rng, step_rng = jax.random.split(rng)
+        loss, _ = trainer.train_step(batch, step_rng)
+        losses.append(loss)
+    return losses
 
 
 def experiment_name(cfg: ExperimentConfig) -> str:

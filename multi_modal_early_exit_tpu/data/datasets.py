@@ -305,6 +305,27 @@ DATASET_BUILDERS: Dict[str, Callable[..., DocClassificationDataset]] = {
 }
 
 
+def create_subset(
+    dataset: DocClassificationDataset, per_class: int, seed: int = 42
+) -> DocClassificationDataset:
+    """N-examples-per-class subset (parity: ``create_new_rvl``,
+    EE/data/RVL_CDIP.py:449-483 — seeded shuffle, first N of each class).
+    Works on any materialized split; the reference's hub push is replaced by
+    saving arrays locally if desired."""
+    rng = np.random.default_rng(seed)
+    labels = dataset.arrays["labels"]
+    perm = rng.permutation(len(dataset))
+    picked: Dict[int, list] = {int(c): [] for c in np.unique(labels)}
+    for i in perm:
+        c = int(labels[i])
+        if len(picked[c]) < per_class:
+            picked[c].append(int(i))
+        if all(len(v) >= per_class for v in picked.values()):
+            break
+    indices = [i for v in picked.values() for i in v]
+    return dataset.select(indices)
+
+
 def dataset_spec(name: str) -> "tuple[str, dict]":
     """Resolve a user-facing dataset name to (registry key, builder kwargs).
 

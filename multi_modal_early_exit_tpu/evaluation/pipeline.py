@@ -55,12 +55,15 @@ def get_logits(
     batch_size: int = 8,
     root: str = "results",
     use_cache: bool = True,
+    benchmark_ocr: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
     """Harvest the (E+1, N, K) per-exit logit store for a whole split.
 
     One jitted batched forward per batch; the store layout and float64 dtype
     match the reference dump contract (EE/utils.py:160-164) so npz artifacts
-    are interchangeable.
+    are interchangeable.  ``benchmark_ocr`` re-runs the image preprocessing
+    inside the timed loop to include host-side preprocessing cost in the
+    throughput numbers (parity: --benchmark_OCR, EE/utils.py:176-177).
     """
     import jax
 
@@ -84,6 +87,14 @@ def get_logits(
     stores, refs = [], []
     end = time.perf_counter()
     for batch in iterate_batches(dataset, batch_size):
+        if benchmark_ocr:
+            from multi_modal_early_exit_tpu.data.images import preprocess_images
+
+            raw = ((batch["pixel_values"].transpose(0, 2, 3, 1) * 0.5 + 0.5)
+                   * 255).astype(np.uint8)
+            batch["pixel_values"] = np.asarray(
+                preprocess_images(raw, size=raw.shape[1])
+            )
         store = np.asarray(
             fwd(params, batch["input_ids"], batch["bbox"],
                 batch["pixel_values"], batch["attention_mask"])

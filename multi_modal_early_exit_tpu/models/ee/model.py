@@ -138,6 +138,7 @@ def ee_forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     collect_hidden: bool = False,
+    seq_pad_multiple: Optional[int] = None,
 ) -> EEOutputs:
     backbone_cfg, exit_cfg = cfg.backbone, cfg.exit
     rngs = RngStream(rng)
@@ -146,6 +147,7 @@ def ee_forward(
         params["backbone"], backbone_cfg, input_ids, bbox, pixel_values,
         attention_mask, deterministic=deterministic, rng=rngs.next(),
         collect_cls=bool(exit_cfg.encoder_exits), collect_hidden=collect_hidden,
+        seq_pad_multiple=seq_pad_multiple,
     )
 
     exit_inputs = []  # (B, H) head input per exit, in canonical order

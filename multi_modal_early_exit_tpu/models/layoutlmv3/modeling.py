@@ -336,14 +336,35 @@ def attention_apply(
     k = _split_heads(linear(p["key"], hidden), cfg.num_attention_heads)
     v = _split_heads(linear(p["value"], hidden), cfg.num_attention_heads)
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q / math.sqrt(d), k, preferred_element_type=jnp.float32
+    from multi_modal_early_exit_tpu.ops.flash_attention import (
+        flash_attention,
+        use_flash_attention,
     )
-    if attn_bias is not None:
-        scores = scores + attn_bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    probs = dropout(probs, cfg.attention_probs_dropout_prob, deterministic, rng_attn)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+
+    use_flash = (
+        (deterministic or cfg.attention_probs_dropout_prob == 0.0)
+        and attn_bias is not None
+        and attn_bias.shape[1] == cfg.num_attention_heads
+        and use_flash_attention()
+    )
+    if use_flash:
+        # VMEM-resident fused softmax(qk^T/sqrt(d) + bias)v — no (S,S)
+        # probability tensor in HBM (ops/flash_attention.py)
+        ctx = flash_attention(q, k, v, attn_bias)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
+            preferred_element_type=jnp.float32,
+        )
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        probs = dropout(
+            probs, cfg.attention_probs_dropout_prob, deterministic, rng_attn
+        )
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        )
     ctx = ctx.astype(hidden.dtype)
     b, h, s, _ = ctx.shape
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
@@ -515,9 +536,18 @@ def backbone_apply(
     rng: Optional[jax.Array] = None,
     collect_cls: bool = True,
     collect_hidden: bool = False,
+    seq_pad_multiple: Optional[int] = None,
 ) -> BackboneOutput:
     """Full multimodal backbone (parity: LayoutLMv3Model.forward with both
-    text and image inputs, the only configuration the reference exercises)."""
+    text and image inputs, the only configuration the reference exercises).
+
+    ``seq_pad_multiple`` pads the concatenated sequence ONCE before the
+    encoder to a multiple of the given value (e.g. 128, the TPU lane width):
+    the 709-token reference budget tiles badly on the MXU, and padding here
+    — instead of per-layer inside the attention kernel — avoids a full HBM
+    round-trip of the (B,H,S,S) bias each layer. Padded positions carry
+    attention-mask 0 so they never influence real tokens.
+    """
     rngs = RngStream(rng)
     b, s_t = input_ids.shape
 
@@ -547,8 +577,23 @@ def backbone_apply(
         [attention_mask, jnp.ones((b, s_v), attention_mask.dtype)], axis=1
     )
 
+    combined_unpadded = combined  # exit heads take modality means pre-pad
+    if seq_pad_multiple:
+        s_all = combined.shape[1]
+        pad = (-s_all) % seq_pad_multiple
+        if pad:
+            combined = jnp.pad(combined, ((0, 0), (0, pad), (0, 0)))
+            final_bbox = jnp.pad(final_bbox, ((0, 0), (0, pad), (0, 0)))
+            final_position_ids = jnp.pad(
+                final_position_ids, ((0, 0), (0, pad))
+            )
+            full_mask = jnp.pad(full_mask, ((0, 0), (0, pad)))
+
+    # bias follows the compute dtype: bf16 halves the dominant (B,H,S,S)
+    # HBM buffer when running a bf16 model; f32 params keep f32 bias (parity)
     attn_bias = make_attention_bias(
-        params, cfg, final_position_ids, final_bbox, full_mask
+        params, cfg, final_position_ids, final_bbox, full_mask,
+        dtype=combined.dtype,
     )
 
     final, cls_per_layer, hidden_per_layer = encoder_apply(
@@ -562,8 +607,72 @@ def backbone_apply(
         cls_per_layer=cls_per_layer,
         visual_embeddings=vis_emb,
         text_embeddings=text_emb,
-        combined_embeddings=combined,
+        combined_embeddings=combined_unpadded,
         hidden_per_layer=hidden_per_layer,
+    )
+
+
+def forward_image_classification(
+    params: Params,
+    cfg: LayoutLMv3Config,
+    pixel_values: jax.Array,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Image-only ViT-style classification (the reference's ``dit`` model,
+    EE/configs.py:429-449): patch embed + encoder without relative biases +
+    classifier on [CLS]. Reuses the same parameter tree; text tables unused."""
+    rngs = RngStream(rng)
+    vis_emb = embed_vision(
+        params["visual"], cfg, pixel_values, deterministic=deterministic,
+        rngs=rngs,
+    )
+    final, _, _ = encoder_apply(
+        params["encoder"], cfg, vis_emb, attn_bias=None,
+        deterministic=deterministic, rng=rngs.next(), collect_cls=False,
+    )
+    return classifier_apply(
+        params["classifier"], cfg, final[:, 0, :],
+        deterministic=deterministic, rngs=rngs,
+    )
+
+
+def forward_text_classification(
+    params: Params,
+    cfg: LayoutLMv3Config,
+    input_ids: jax.Array,
+    bbox: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Text-only classification (the reference's ``bert`` model,
+    EE/configs.py:482-493): text(+layout) embeddings + encoder with the 1D
+    relative bias + classifier on [CLS]. ``bbox`` defaults to zeros (plain
+    BERT semantics — no layout signal)."""
+    rngs = RngStream(rng)
+    b, s = input_ids.shape
+    if bbox is None:
+        bbox = jnp.zeros((b, s, 4), jnp.int32)
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    text_emb = embed_text(
+        params["embeddings"], cfg, input_ids, bbox,
+        deterministic=deterministic, rngs=rngs,
+    )
+    position_ids = jnp.broadcast_to(
+        jnp.arange(s, dtype=jnp.int32)[None], (b, s)
+    )
+    attn_bias = make_attention_bias(
+        params, cfg, position_ids, bbox, attention_mask
+    )
+    final, _, _ = encoder_apply(
+        params["encoder"], cfg, text_emb, attn_bias,
+        deterministic=deterministic, rng=rngs.next(), collect_cls=False,
+    )
+    return classifier_apply(
+        params["classifier"], cfg, final[:, 0, :],
+        deterministic=deterministic, rngs=rngs,
     )
 
 

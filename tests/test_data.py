@@ -102,3 +102,15 @@ def test_accumulation_layout():
     out = accumulation_layout(batch, accum_steps=3)
     assert out["x"].shape == (3, 2, 4)
     np.testing.assert_array_equal(out["x"][0], [[0, 1, 2, 3], [4, 5, 6, 7]])
+
+
+def test_create_subset_balanced():
+    from multi_modal_early_exit_tpu.data.datasets import create_subset
+
+    ds = build_synthetic("train", n_train=60, num_labels=4, seq_len=16,
+                         image_size=32)
+    sub = create_subset(ds, per_class=3)
+    labels = sub.arrays["labels"]
+    counts = np.bincount(labels, minlength=4)
+    assert (counts <= 3).all()
+    assert len(sub) == counts.sum()

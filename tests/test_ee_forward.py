@@ -117,3 +117,47 @@ def test_training_mode_dropout_is_stochastic():
     out2 = ee_forward(params, cfg, ids, bbox, pv, mask,
                       deterministic=False, rng=jax.random.key(2))
     assert not np.allclose(np.asarray(out1.logits), np.asarray(out2.logits))
+
+
+def test_seq_pad_multiple_is_output_invariant():
+    """Padding the concatenated sequence to a lane multiple (TPU alignment)
+    must not change any exit/final logits — padded keys are masked out."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import (
+        ee_forward,
+        init_ee_params,
+    )
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    B, S = 3, 14
+    args = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.asarray(
+            (rng.random((B, S)) > 0.2).astype(np.int32), jnp.int32
+        ),
+    )
+    plain = ee_forward(params, cfg, *args)
+    padded = ee_forward(params, cfg, *args, seq_pad_multiple=16)
+    np.testing.assert_allclose(
+        np.asarray(padded.policy_logits()), np.asarray(plain.policy_logits()),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.exit_criteria), np.asarray(plain.exit_criteria),
+        atol=2e-5, rtol=1e-4,
+    )
