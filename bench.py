@@ -54,7 +54,8 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
     )
 
-    batch, seq = 32, 512
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    seq = 512
     rng = np.random.default_rng(0)
     bb = cfg.backbone
     input_ids = jnp.asarray(rng.integers(10, bb.vocab_size, (batch, seq)), jnp.int32)
@@ -77,7 +78,7 @@ def main() -> None:
     # device->host bandwidth is tiny. Honest timing therefore runs K
     # forwards *inside one jit* via lax.scan and fetches a single scalar:
     # one dispatch round-trip, negligible transfer, full on-chip execution.
-    K = 8
+    K = int(os.environ.get("BENCH_K", 16))
 
     @jax.jit
     def fwd_k(params, input_ids, bbox, pixel_values, mask):
@@ -85,8 +86,7 @@ def main() -> None:
             # fold the step index into the inputs so XLA cannot CSE the
             # K iterations into one
             ids = jnp.where(mask > 0, (input_ids + k) % bb.vocab_size, input_ids)
-            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask,
-                             seq_pad_multiple=128)
+            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
             store = out.policy_logits()
             return carry + store.astype(jnp.float32).sum(), None
 

@@ -33,7 +33,10 @@ from multi_modal_early_exit_tpu.evaluation.pipeline import (
 )
 from multi_modal_early_exit_tpu.models.registry import build_model
 from multi_modal_early_exit_tpu.training.checkpoint import load_checkpoint
-from multi_modal_early_exit_tpu.utils.artifacts import dump_logits
+from multi_modal_early_exit_tpu.utils.artifacts import (
+    config_to_checkpoint,
+    dump_logits,
+)
 from multi_modal_early_exit_tpu.utils.logging import logger_message
 from multi_modal_early_exit_tpu.utils.seeding import seed_everything
 from multi_modal_early_exit_tpu.utils.wandb_compat import init_wandb
@@ -105,6 +108,20 @@ def main(argv: Optional[list] = None) -> Dict:
             batch_size=max(cfg.eval_batch_size, 1),
         )
         logits = calibrate_logits(logits, val_logits, val_refs, config)
+
+    if cfg.plot_exits:
+        # qualitative top-k exit grids (parity: eval.py:109-110 + plots.py)
+        from multi_modal_early_exit_tpu.evaluation.plots import plot_exits
+        from multi_modal_early_exit_tpu.evaluation.policy import Policy
+
+        exits_store, _, _ = Policy(logits, config) \
+            .max_confidence_global_thresholding_policy()
+        saved = plot_exits(
+            logits, references, exits_store, test_ds.arrays["pixel_values"],
+            id2label=test_ds.id2label,
+            out_dir=os.path.join(config_to_checkpoint(config), "plots"),
+        )
+        logger_message(f"exit plots: {saved}")
 
     analysis = Analysis(params, model_cfg)
     if cfg.full_test:

@@ -273,6 +273,54 @@ def rel_pos_2d_bias(
     return table_x[bx].transpose(0, 3, 1, 2) + table_y[by].transpose(0, 3, 1, 2)
 
 
+def fused_rel_pos_bias(
+    enc: Params,
+    cfg: LayoutLMv3Config,
+    position_ids: jax.Array,
+    bbox: jax.Array,
+    scale: float = 1.0,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """(B, heads, S, S) combined 1D+2D relative bias via ONE gather.
+
+    TPU gathers are slow (~element-rate-bound, far off HBM bandwidth), and
+    the naive formulation does three (B,S,S)->(...,heads) gathers — profiled
+    at ~70% of the whole forward. Here the three bucket tables are
+    pre-summed into one (rel_bins * 2d_bins^2, heads) table (tiny:
+    32*64*64*12 entries) and the three bucket indices are packed into one
+    integer, so the per-token work is a single gather. Numerically identical
+    to rel_pos_1d_bias + rel_pos_2d_bias (same lookups, same f32 sums).
+
+    The 1D bucket matrix depends only on position ids, which are the
+    constant [0..s_t)+[0..s_v) layout — XLA constant-folds it.
+    """
+    bins_1d, bins_2d = cfg.rel_pos_bins, cfg.rel_2d_pos_bins
+    rel = position_ids[:, None, :] - position_ids[:, :, None]
+    b1 = relative_position_bucket(rel, bins_1d, cfg.max_rel_pos)
+    cx = bbox[:, :, 0]
+    cy = bbox[:, :, 3]
+    bx = relative_position_bucket(
+        cx[:, None, :] - cx[:, :, None], bins_2d, cfg.max_rel_2d_pos
+    )
+    by = relative_position_bucket(
+        cy[:, None, :] - cy[:, :, None], bins_2d, cfg.max_rel_2d_pos
+    )
+    packed = (b1 * bins_2d + bx) * bins_2d + by  # (B, S, S)
+
+    # combined table: T[b1, bx, by, h] = (T1[b1,h] + Tx[bx,h] + Ty[by,h])*scale
+    # — summed/scaled in f32, rounded ONCE to out_dtype, so the big gather
+    # and everything downstream moves half the bytes under bf16
+    t1 = enc["rel_pos_bias"].astype(jnp.float32)
+    tx = enc["rel_pos_x_bias"].astype(jnp.float32)
+    ty = enc["rel_pos_y_bias"].astype(jnp.float32)
+    table = (
+        (t1[:, None, None, :] + tx[None, :, None, :] + ty[None, None, :, :])
+        * scale
+    ).reshape(bins_1d * bins_2d * bins_2d, -1).astype(out_dtype)
+
+    return table[packed].transpose(0, 3, 1, 2)
+
+
 # ---------------------------------------------------------------------------
 # encoder  (parity: LayoutLMv3Layer / LayoutLMv3Encoder)
 # ---------------------------------------------------------------------------
@@ -349,7 +397,8 @@ def attention_apply(
     )
     if use_flash:
         # VMEM-resident fused softmax(qk^T/sqrt(d) + bias)v — no (S,S)
-        # probability tensor in HBM (ops/flash_attention.py)
+        # probability tensor in HBM (ops/flash_attention.py). The bias may
+        # be pre-padded wider than S (built once at the aligned width).
         ctx = flash_attention(q, k, v, attn_bias)
     else:
         scores = jnp.einsum(
@@ -357,6 +406,9 @@ def attention_apply(
             preferred_element_type=jnp.float32,
         )
         if attn_bias is not None:
+            s = scores.shape[-1]
+            if attn_bias.shape[-1] != s:  # pre-padded bias: use the S slice
+                attn_bias = attn_bias[:, :, :s, :s]
             scores = scores + attn_bias
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         probs = dropout(
@@ -486,6 +538,7 @@ def make_attention_bias(
     bbox: jax.Array,
     attention_mask: Optional[jax.Array],
     dtype=jnp.float32,
+    pad_to: Optional[int] = None,
 ) -> jax.Array:
     """Fused additive bias: (rel_pos + rel_2d_pos)/√d + padding mask.
 
@@ -493,24 +546,50 @@ def make_attention_bias(
     (modeling_layoutlmv3.py LayoutLMv3SelfAttention.forward) and a
     (1-mask)·finfo.min extended mask; combining them here lets XLA hoist the
     whole bias out of the layer scan.
+
+    ``pad_to``: pad the finished bias once to a lane-aligned width P >= S
+    (-inf key columns) so the fused attention kernel never re-pads the
+    ~GB-scale bias per layer while matmuls stay at the true length.
+
+    In bf16 the whole (B,H,S,S) pipeline (gather + mask add + pad) runs at
+    the narrow dtype — the table sums stay f32, so values are exact-then-
+    rounded-once; the f32 path is numerically identical to the reference.
     """
     enc = p["encoder"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
-    if cfg.has_relative_attention_bias:
-        bias = bias + rel_pos_1d_bias(enc["rel_pos_bias"].astype(jnp.float32), cfg, position_ids) * scale
-    if cfg.has_spatial_attention_bias:
-        bias = bias + rel_pos_2d_bias(
-            enc["rel_pos_x_bias"].astype(jnp.float32),
-            enc["rel_pos_y_bias"].astype(jnp.float32),
-            cfg,
-            bbox,
-        ) * scale
+    neg = jnp.finfo(jnp.float32).min
+    if cfg.has_relative_attention_bias and cfg.has_spatial_attention_bias:
+        # single-gather fused path; scale folded into the tiny table
+        bias = fused_rel_pos_bias(
+            enc, cfg, position_ids, bbox, scale=scale, out_dtype=dtype
+        )
+    else:
+        bias32 = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        if cfg.has_relative_attention_bias:
+            bias32 = bias32 + rel_pos_1d_bias(
+                enc["rel_pos_bias"].astype(jnp.float32), cfg, position_ids
+            ) * scale
+        if cfg.has_spatial_attention_bias:
+            bias32 = bias32 + rel_pos_2d_bias(
+                enc["rel_pos_x_bias"].astype(jnp.float32),
+                enc["rel_pos_y_bias"].astype(jnp.float32),
+                cfg,
+                bbox,
+            ) * scale
+        bias = bias32.astype(dtype)
     if attention_mask is not None:
-        neg = jnp.finfo(jnp.float32).min
-        mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * neg
+        mask_bias = (
+            (1.0 - attention_mask.astype(jnp.float32)) * neg
+        ).astype(dtype)
         bias = bias + mask_bias[:, None, None, :]
-    return bias.astype(dtype)
+    if pad_to is not None and pad_to > bias.shape[-1]:
+        extra = pad_to - bias.shape[-1]
+        pad_val = jnp.asarray(neg, jnp.float32).astype(dtype)
+        bias = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, extra), (0, extra)),
+            constant_values=pad_val,
+        )
+    return bias
 
 
 @dataclasses.dataclass
@@ -590,10 +669,21 @@ def backbone_apply(
             full_mask = jnp.pad(full_mask, ((0, 0), (0, pad)))
 
     # bias follows the compute dtype: bf16 halves the dominant (B,H,S,S)
-    # HBM buffer when running a bf16 model; f32 params keep f32 bias (parity)
+    # HBM buffer when running a bf16 model; f32 params keep f32 bias (parity).
+    # With the fused attention kernel active, build the bias ONCE at the
+    # lane-aligned width so no per-layer re-pad of the bias is needed while
+    # QKV/MLP matmuls stay at the true (smaller) sequence length.
+    from multi_modal_early_exit_tpu.ops.flash_attention import (
+        DEFAULT_BLOCK_Q,
+        use_flash_attention,
+    )
+
+    bias_pad_to = None
+    if use_flash_attention() and combined.shape[1] % DEFAULT_BLOCK_Q:
+        bias_pad_to = -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
     attn_bias = make_attention_bias(
         params, cfg, final_position_ids, final_bbox, full_mask,
-        dtype=combined.dtype,
+        dtype=combined.dtype, pad_to=bias_pad_to,
     )
 
     final, cls_per_layer, hidden_per_layer = encoder_apply(

@@ -74,15 +74,21 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW + linear warmup/decay (the HF Trainer default schedule)."""
     warmup = int(total_steps * args.warmup_ratio)
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, args.learning_rate, max(warmup, 1)),
-            optax.linear_schedule(
-                args.learning_rate, 0.0, max(total_steps - warmup, 1)
-            ),
-        ],
-        boundaries=[max(warmup, 1)],
-    )
+    if warmup > 0:
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, args.learning_rate, warmup),
+                optax.linear_schedule(
+                    args.learning_rate, 0.0, max(total_steps - warmup, 1)
+                ),
+            ],
+            boundaries=[warmup],
+        )
+    else:
+        # no warmup: full lr from step 0, linear decay to 0
+        schedule = optax.linear_schedule(
+            args.learning_rate, 0.0, max(total_steps, 1)
+        )
     chain: List[optax.GradientTransformation] = []
     if args.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(args.max_grad_norm))
@@ -209,15 +215,23 @@ class EETrainer:
         self.step += 1
         return float(loss), aux
 
+    def _eval_fwd(self):
+        """Jitted policy-logits forward, built once (stable jit cache key)."""
+        if not hasattr(self, "_eval_fwd_fn"):
+            from multi_modal_early_exit_tpu.models.ee.model import ee_forward
+
+            cfg = self.cfg
+            self._eval_fwd_fn = jax.jit(
+                lambda p, ids, bbox, pv, m: ee_forward(
+                    p, cfg, ids, bbox, pv, m
+                ).policy_logits()
+            )
+        return self._eval_fwd_fn
+
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
         """Accuracy + per-exit accuracy (reference compute_metrics,
         IC_only.py:91-130)."""
-        from multi_modal_early_exit_tpu.models.ee.model import ee_forward
-
-        fwd = jax.jit(
-            lambda p, ids, bbox, pv, m: ee_forward(p, self.cfg, ids, bbox, pv, m)
-            .policy_logits()
-        )
+        fwd = self._eval_fwd()
         correct = 0
         total = 0
         exit_correct = None

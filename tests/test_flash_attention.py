@@ -52,3 +52,21 @@ def test_flash_respects_padding_mask():
         fa.reference_attention(q, k[:, :, :7], v[:, :, :7], bias[..., :7])
     )
     np.testing.assert_allclose(got, want_trunc, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_accepts_prepadded_bias():
+    """Bias built at the aligned width P > S (model-level pre-pad) must give
+    the same result as an S-width bias."""
+    rng = np.random.default_rng(2)
+    b, h, s, d, blk = 1, 2, 11, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    # pre-padded: valid SxS block, -inf on extra key columns
+    pre = jnp.full((b, h, blk, blk), -1e30)
+    pre = pre.at[:, :, :s, :s].set(bias)
+
+    want = np.asarray(fa.reference_attention(q, k, v, bias))
+    got = np.asarray(fa.flash_attention(q, k, v, pre, block_q=blk))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
