@@ -1,11 +1,15 @@
-"""Benchmark harness: EE LayoutLMv3-base inference throughput on one chip.
+"""Benchmark harness: anytime-inference throughput of the flagship model.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures docs/sec of the flagship anytime-inference forward (all exit heads +
-final classifier + exit criteria, the logit-harvesting workload of the
-reference's EE/utils.py:get_logits) at the reference compute budget: 512 text
-tokens + 197 visual tokens, LayoutLMv3-base.
+Primary metric: docs/sec of the single-program capacity-constrained cascade
+(models/ee/cascade.py) on LayoutLMv3-base at the reference compute budget
+(512 text + 197 visual tokens), with per-stage capacities (B/2, B/4) — a
+mid-curve anytime operating point (~50% of documents exit at the embedding
+exits, ~25% at encoder exit 7, ~25% run the full depth, matching the
+shape of the reference's Pareto operating points). BENCH_MODE=harvest
+benches the all-exits logit-harvesting forward instead (the workload of
+EE/utils.py:get_logits, everything at full depth).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); its eval loop
 runs PyTorch at batch size 1 on a single CUDA GPU (EE/configs.py:36,44).
@@ -79,19 +83,47 @@ def main() -> None:
     # forwards *inside one jit* via lax.scan and fetches a single scalar:
     # one dispatch round-trip, negligible transfer, full on-chip execution.
     K = int(os.environ.get("BENCH_K", 16))
+    mode = os.environ.get("BENCH_MODE", "cascade")
 
-    @jax.jit
-    def fwd_k(params, input_ids, bbox, pixel_values, mask):
-        def body(carry, k):
-            # fold the step index into the inputs so XLA cannot CSE the
-            # K iterations into one
-            ids = jnp.where(mask > 0, (input_ids + k) % bb.vocab_size, input_ids)
-            out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
-            store = out.policy_logits()
-            return carry + store.astype(jnp.float32).sum(), None
+    if mode == "cascade":
+        from multi_modal_early_exit_tpu.models.ee.cascade import (
+            make_cascade_forward,
+        )
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
-        return total
+        caps = (max(batch // 2, 8), max(batch // 4, 8))
+        cascade = make_cascade_forward(cfg, capacities=caps, threshold=0.085)
+
+        @jax.jit
+        def fwd_k(params, input_ids, bbox, pixel_values, mask):
+            def body(carry, k):
+                ids = jnp.where(
+                    mask > 0, (input_ids + k) % bb.vocab_size, input_ids
+                )
+                r = cascade(params, ids, bbox, pixel_values, mask)
+                return carry + r.logits.sum() + r.exit_ids.sum(), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+            return total
+
+        metric = "anytime_cascade_docs_per_sec_per_chip"
+    else:
+
+        @jax.jit
+        def fwd_k(params, input_ids, bbox, pixel_values, mask):
+            def body(carry, k):
+                # fold the step index into the inputs so XLA cannot CSE the
+                # K iterations into one
+                ids = jnp.where(
+                    mask > 0, (input_ids + k) % bb.vocab_size, input_ids
+                )
+                out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
+                store = out.policy_logits()
+                return carry + store.astype(jnp.float32).sum(), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+            return total
+
+        metric = "ee_harvest_docs_per_sec_per_chip"
 
     _ = float(fwd_k(params, input_ids, bbox, pixel_values, mask))  # compile+warm
 
@@ -105,7 +137,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ee_inference_docs_per_sec_per_chip",
+                "metric": metric,
                 "value": round(docs_per_sec, 2),
                 "unit": "docs/sec",
                 "vs_baseline": round(docs_per_sec / REFERENCE_GPU_DOCS_PER_SEC, 2),

@@ -14,3 +14,18 @@ from multi_modal_early_exit_tpu.evaluation.calibration import (  # noqa: F401
     TemperatureScaler,
     get_platt_scaler,
 )
+from multi_modal_early_exit_tpu.evaluation.analysis import (  # noqa: F401
+    Analysis,
+    calc_flops,
+)
+from multi_modal_early_exit_tpu.evaluation.pipeline import (  # noqa: F401
+    calibrate,
+    eval_model,
+    evaluate_checkpoint,
+    full_test_iteration,
+    get_logits,
+)
+from multi_modal_early_exit_tpu.evaluation.thresholds import (  # noqa: F401
+    mixture_pareto_sweep,
+    vectorized_global_sweep,
+)

@@ -10,3 +10,9 @@ from multi_modal_early_exit_tpu.models.ee.model import (  # noqa: F401
     ee_forward,
     init_ee_params,
 )
+from multi_modal_early_exit_tpu.models.ee.engine import AnytimeEngine  # noqa: F401
+from multi_modal_early_exit_tpu.models.ee.cascade import (  # noqa: F401
+    CascadeResult,
+    capacities_from_distribution,
+    make_cascade_forward,
+)

@@ -1,0 +1,279 @@
+"""Single-program capacity-constrained anytime cascade.
+
+``AnytimeEngine`` (engine.py) reads exit criteria back to the host after
+every stage to re-bucket survivors — correct, but each stage boundary costs
+a host sync, which dominates when the accelerator is remote or latency
+matters. This module is the fully on-device alternative: ONE jit program
+runs the whole cascade with *static* per-stage capacities.
+
+Design (TPU-first, no dynamic shapes):
+- stage 0 computes embeddings + embedding-exit criteria for the full batch;
+- before each encoder stage, the ``c_i`` least-confident still-running
+  samples are selected with ``jax.lax.top_k`` and compacted via gather —
+  static shape (c_i, ...), so XLA compiles one program and the deep layers
+  process only c_i rows;
+- samples that want to continue but exceed capacity exit immediately with
+  their best logits so far ("capacity-constrained exiting") — with
+  capacities >= true survivor counts the decisions equal the exact
+  threshold policy (tested), and capacities are calibrated offline from
+  validation exit rates (see ``capacities_from_distribution``).
+
+FLOP cost is fixed per batch: stage i always costs c_i rows — deterministic
+latency, the serving property batch-level early exit normally destroys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_early_exit_tpu.config.exit_config import (
+    EarlyExitInference,
+    ExitConfig,
+)
+from multi_modal_early_exit_tpu.models.ee.heads import (
+    exit_head_apply,
+    lte_head_apply,
+)
+from multi_modal_early_exit_tpu.models.ee.model import canonical_exit_order
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
+from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
+    classifier_apply,
+    embed_text,
+    embed_vision,
+    encoder_layer_apply,
+    layer_norm,
+    make_attention_bias,
+    visual_bbox,
+)
+
+
+def capacities_from_distribution(
+    exit_distribution: Dict[int, float],
+    batch: int,
+    n_emb: int,
+    n_stages: int,
+    margin: float = 1.25,
+    multiple: int = 8,
+) -> Tuple[int, ...]:
+    """Per-stage capacities from a (validation) exit distribution: the
+    expected survivor count entering each encoder stage, with safety margin,
+    rounded up to a lane-friendly multiple and capped at batch."""
+    surv = 1.0
+    for j in range(n_emb):
+        surv -= exit_distribution.get(j, 0.0)
+    caps = []
+    for s in range(n_stages):
+        c = min(batch, int(np.ceil(surv * batch * margin / multiple)) * multiple)
+        caps.append(max(c, multiple))
+        surv -= exit_distribution.get(n_emb + s, 0.0)
+    return tuple(caps)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CascadeResult:
+    logits: jax.Array  # (B, K) per-sample final logits (from its exit)
+    exit_ids: jax.Array  # (B,) canonical exit index; E == final classifier
+    capacity_exited: jax.Array  # (B,) bool: exited due to capacity, not threshold
+
+
+def _stage_layers(params, a: int, b: int):
+    return jax.tree.map(
+        lambda x: x[a:b], params["backbone"]["encoder"]["layers"]
+    )
+
+
+def make_cascade_forward(
+    cfg: EEModelConfig,
+    capacities: Sequence[int],
+    threshold: Optional[float] = None,
+):
+    """Build the jittable single-program cascade.
+
+    ``capacities[i]`` is the static row count of encoder stage i (stages are
+    split at the encoder exits, last stage runs to the final classifier).
+    """
+    exit_cfg = cfg.exit
+    bb_cfg = cfg.backbone
+    thr = exit_cfg.global_threshold if threshold is None else threshold
+    sign = exit_cfg.inference_strategy.get_sign()
+    crit_fn = exit_cfg.inference_strategy.get_function()
+    use_lte = exit_cfg.inference_strategy == EarlyExitInference.LTE
+    order = canonical_exit_order(exit_cfg)
+    emb_exits = [e for e in order if isinstance(e, str)]
+    enc_exits = [e for e in order if isinstance(e, int)]
+    n_emb, E = len(emb_exits), len(order)
+    L = bb_cfg.num_hidden_layers
+    bounds = []
+    prev = 0
+    for k in enc_exits:
+        bounds.append((prev, k))
+        prev = k
+    bounds.append((prev, L))
+    assert len(capacities) == len(bounds), (
+        f"need {len(bounds)} capacities (one per encoder stage), got "
+        f"{len(capacities)}"
+    )
+    # confidence ordering: continue the least-exit-worthy samples. For
+    # 'greater is exit' criteria low values continue; for 'lower is exit'
+    # high values continue.
+    higher_exits = sign(jnp.asarray(1.0), jnp.asarray(0.0))
+
+    def cascade(params, input_ids, bbox, pixel_values, attention_mask):
+        B = input_ids.shape[0]
+        K = bb_cfg.num_labels
+
+        # ---- stage 0: embeddings + embedding exits (full batch) --------
+        text_emb = embed_text(
+            params["backbone"]["embeddings"], bb_cfg, input_ids, bbox
+        )
+        vis_emb = embed_vision(
+            params["backbone"]["visual"], bb_cfg, pixel_values
+        )
+        s_t, s_v = input_ids.shape[1], vis_emb.shape[1]
+        combined = jnp.concatenate([text_emb, vis_emb], axis=1)
+        combined = layer_norm(
+            params["backbone"]["LayerNorm"], combined, bb_cfg.layer_norm_eps
+        )
+        vis_bb = jnp.broadcast_to(visual_bbox(bb_cfg)[None], (B, s_v, 4))
+        full_bbox = jnp.concatenate([bbox, vis_bb], axis=1)
+        pos_ids = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.arange(s_t, dtype=jnp.int32)[None], (B, s_t)),
+                jnp.broadcast_to(jnp.arange(s_v, dtype=jnp.int32)[None], (B, s_v)),
+            ],
+            axis=1,
+        )
+        full_mask = jnp.concatenate(
+            [attention_mask, jnp.ones((B, s_v), attention_mask.dtype)], axis=1
+        )
+
+        out_logits = jnp.zeros((B, K), jnp.float32)
+        exit_ids = jnp.full((B,), E, jnp.int32)
+        running = jnp.ones((B,), bool)
+        last_crit = jnp.zeros((B,), jnp.float32)
+
+        for j, name in enumerate(emb_exits):
+            if name == "vision_avg":
+                x = jnp.mean(vis_emb, axis=1)
+            elif name == "text_avg":
+                x = jnp.mean(text_emb, axis=1)
+            else:
+                x = jnp.mean(combined, axis=1)
+            logits_j = exit_head_apply(
+                params["embedding_exits"][name], bb_cfg, x
+            ).astype(jnp.float32)
+            if use_lte:
+                crit_j = (
+                    lte_head_apply(params["lte"], x).astype(jnp.float32)
+                    if name == "text_visual_concat"
+                    else jnp.full((B,), jnp.inf, jnp.float32)
+                )
+            else:
+                crit_j = crit_fn(logits_j)
+            exits_now = running & sign(crit_j, thr)
+            out_logits = jnp.where(exits_now[:, None], logits_j, out_logits)
+            exit_ids = jnp.where(exits_now, j, exit_ids)
+            # remember best-so-far logits for samples forced out later
+            out_logits = jnp.where(
+                (running & ~exits_now)[:, None], logits_j, out_logits
+            )
+            last_crit = jnp.where(running, crit_j, last_crit)
+            running = running & ~exits_now
+
+        capacity_exited = jnp.zeros((B,), bool)
+        state = (combined, full_bbox, pos_ids, full_mask)
+
+        # desire-to-continue score: most-confident first would exit; we rank
+        # so the LEAST exit-worthy keep compute
+        def continue_score(crit, running_mask):
+            s = -crit if higher_exits else crit
+            # running samples must outrank finished ones
+            return jnp.where(running_mask, s, -jnp.inf)
+
+        for stage_idx, (a, b_layer) in enumerate(bounds):
+            c = int(capacities[stage_idx])
+            score = continue_score(last_crit, running)
+            _, sel = jax.lax.top_k(score, c)  # (c,) rows that continue
+            selected = jnp.zeros((B,), bool).at[sel].set(True)
+            # capacity-forced exits: running but not selected take their
+            # last evaluated exit (deepest embedding exit before stage 0,
+            # else the previous encoder exit) with best-so-far logits
+            forced = running & ~selected
+            forced_exit = max(n_emb - 1, 0) if stage_idx == 0 \
+                else n_emb + stage_idx - 1
+            exit_ids = jnp.where(forced, jnp.int32(forced_exit), exit_ids)
+            capacity_exited = capacity_exited | forced
+            running = running & selected
+
+            hidden_c, bbox_c, pos_c, mask_c = (
+                jnp.take(t, sel, axis=0) for t in state
+            )
+            bias_c = make_attention_bias(
+                params["backbone"], bb_cfg, pos_c, bbox_c, mask_c,
+                dtype=hidden_c.dtype,
+            )
+
+            def body(h, layer_p):
+                return encoder_layer_apply(layer_p, bb_cfg, h, bias_c), None
+
+            hidden_c, _ = jax.lax.scan(
+                body, hidden_c, _stage_layers(params, a, b_layer)
+            )
+
+            is_final = stage_idx == len(bounds) - 1
+            if is_final:
+                logits_c = classifier_apply(
+                    params["backbone"]["classifier"], bb_cfg, hidden_c[:, 0, :]
+                ).astype(jnp.float32)
+                crit_c = crit_fn(logits_c)
+            else:
+                head = jax.tree.map(
+                    lambda x: x[stage_idx], params["encoder_exits"]
+                )
+                logits_c = exit_head_apply(
+                    head, bb_cfg, hidden_c[:, 0, :]
+                ).astype(jnp.float32)
+                crit_c = (
+                    lte_head_apply(
+                        params["lte"], hidden_c[:, 0, :]
+                    ).astype(jnp.float32)
+                    if use_lte
+                    else crit_fn(logits_c)
+                )
+
+            # scatter stage results back to batch rows
+            sel_running = jnp.take(running, sel)  # selected rows still running
+            pass_c = sign(crit_c, thr) | is_final
+            exit_pos = E if is_final else n_emb + stage_idx
+            exits_now_c = sel_running & pass_c
+
+            out_logits = out_logits.at[sel].set(
+                jnp.where(sel_running[:, None], logits_c, jnp.take(out_logits, sel, axis=0))
+            )
+            exit_ids = exit_ids.at[sel].set(
+                jnp.where(
+                    exits_now_c, exit_pos,
+                    jnp.take(exit_ids, sel)
+                ).astype(jnp.int32)
+            )
+            new_running_c = sel_running & ~pass_c
+            running = running.at[sel].set(new_running_c)
+            last_crit = last_crit.at[sel].set(crit_c)
+
+            if not is_final:
+                # scatter the compacted state back to batch rows so the next
+                # stage's top_k/gather indexes one consistent frame; rows of
+                # non-selected samples stay stale but `running` excludes them
+                state = tuple(
+                    jnp.zeros((B,) + t.shape[1:], t.dtype).at[sel].set(t)
+                    for t in (hidden_c, bbox_c, pos_c, mask_c)
+                )
+        return CascadeResult(out_logits, exit_ids, capacity_exited)
+
+    return cascade

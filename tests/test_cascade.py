@@ -1,0 +1,86 @@
+"""Single-program capacity-constrained cascade vs the exact threshold policy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+from multi_modal_early_exit_tpu.models.ee.cascade import (
+    capacities_from_distribution,
+    make_cascade_forward,
+)
+from multi_modal_early_exit_tpu.models.ee.model import (
+    decide_exits,
+    ee_forward,
+    init_ee_params,
+)
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+    EEModelConfig,
+    LayoutLMv3Config,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    B, S = 12, 20
+    batch = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.ones((B, S), jnp.int32),
+    )
+    return cfg, params, batch
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.3, 2.0])
+def test_full_capacity_matches_exact_policy(setup, threshold):
+    cfg, params, batch = setup
+    B = batch[0].shape[0]
+    out = ee_forward(params, cfg, *batch)
+    expected_exits = np.asarray(decide_exits(out, cfg.exit, threshold))
+    store = np.asarray(out.policy_logits(), np.float32)
+    expected_logits = store[expected_exits, np.arange(B)]
+
+    cascade = jax.jit(
+        make_cascade_forward(cfg, capacities=(B, B), threshold=threshold)
+    )
+    res = cascade(params, *batch)
+    np.testing.assert_array_equal(np.asarray(res.exit_ids), expected_exits)
+    np.testing.assert_allclose(
+        np.asarray(res.logits), expected_logits, atol=3e-5, rtol=1e-4
+    )
+    assert not np.asarray(res.capacity_exited).any()
+
+
+def test_capacity_constrained_exits_are_marked(setup):
+    cfg, params, batch = setup
+    B = batch[0].shape[0]
+    # threshold 2.0 -> nobody exits voluntarily; capacity 4 forces B-4 out
+    cascade = jax.jit(
+        make_cascade_forward(cfg, capacities=(4, 4), threshold=2.0)
+    )
+    res = cascade(params, *batch)
+    exits = np.asarray(res.exit_ids)
+    forced = np.asarray(res.capacity_exited)
+    assert forced.sum() == B - 4
+    # forced samples exited at the deepest embedding exit (index 1 here)
+    assert (exits[forced] <= 2).all()
+    # the 4 surviving samples reached the final classifier
+    assert (exits[~forced] == cfg.num_exits).all()
+
+
+def test_capacities_from_distribution():
+    dist = {0: 0.5, 1: 0.2, 2: 0.2, 3: 0.1}
+    caps = capacities_from_distribution(
+        dist, batch=64, n_emb=2, n_stages=2, margin=1.0, multiple=8
+    )
+    # 30% survive embeddings -> 24 rounded; 10% survive exit 2 -> 8
+    assert caps == (24, 8)
