@@ -37,7 +37,6 @@ from multi_modal_early_exit_tpu.data.labels import (
     RVL_CDIP_ID2LABEL,
     RVL_CDIP_N_NAME_FIX,
     TOBACCO_ID2LABEL,
-    labelset_for,
 )
 from multi_modal_early_exit_tpu.data.ocr import apply_tesseract, have_tesseract
 

@@ -13,7 +13,7 @@ dataloaders (EE/data/__init__.py:6-60) with a TPU-friendly loader:
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

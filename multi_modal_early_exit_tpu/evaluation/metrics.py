@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import cached_property
-from typing import Any, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.special

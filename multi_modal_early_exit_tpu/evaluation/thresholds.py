@@ -20,7 +20,7 @@ is a single fused kernel per chunk.  A C++/OpenMP host fallback lives in
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import scipy.special

@@ -31,10 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multi_modal_early_exit_tpu.config.exit_config import (
-    EarlyExitInference,
-    ExitConfig,
-)
+from multi_modal_early_exit_tpu.config.exit_config import EarlyExitInference
 from multi_modal_early_exit_tpu.models.ee.heads import (
     exit_head_apply,
     lte_head_apply,

@@ -24,23 +24,16 @@ documents exiting at the embedding/7-layer stages, the deep stage runs on
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multi_modal_early_exit_tpu.config.exit_config import (
-    EarlyExitInference,
-    ExitConfig,
-)
+from multi_modal_early_exit_tpu.config.exit_config import EarlyExitInference
 from multi_modal_early_exit_tpu.models.ee.heads import exit_head_apply
-from multi_modal_early_exit_tpu.models.ee.model import (
-    EMBEDDING_FORWARD_ORDER,
-    canonical_exit_order,
-)
+from multi_modal_early_exit_tpu.models.ee.model import canonical_exit_order
 from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
 from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
     classifier_apply,

@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from multi_modal_early_exit_tpu.config.exit_config import (
-    EarlyExitHead,
     EarlyExitInference,
     ExitConfig,
 )
@@ -42,17 +41,13 @@ from multi_modal_early_exit_tpu.models.ee.heads import (
     init_lte_head,
     lte_head_apply,
 )
-from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
-    EEModelConfig,
-    LayoutLMv3Config,
-)
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
 from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
     RngStream,
     backbone_apply,
     classifier_apply,
     init_params as init_backbone_params,
 )
-from multi_modal_early_exit_tpu.ops import criteria as criteria_ops
 
 Params = Dict[str, Any]
 

@@ -47,6 +47,10 @@ class LayoutLMv3Config:
     patch_size: int = 16
     classifier_dropout: Optional[float] = None
     num_labels: int = 16
+    # rematerialize each encoder layer in the backward pass (the TPU-native
+    # equivalent of the reference's gradient-checkpointing path,
+    # EE/models/LayoutLMv3.py:187-207): trades FLOPs for activation memory
+    gradient_checkpointing: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -482,6 +482,9 @@ def encoder_apply(
             ys["hidden"] = h
         return h, ys
 
+    if cfg.gradient_checkpointing:
+        body = jax.checkpoint(body)
+
     xs = (p["layers"], layer_rngs) if layer_rngs is not None else p["layers"]
     final, ys = jax.lax.scan(body, hidden, xs)
     return final, ys.get("cls"), ys.get("hidden")

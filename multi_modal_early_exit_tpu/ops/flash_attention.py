@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +54,7 @@ def _pad_to(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention(
     q: jax.Array,  # (B, H, S, D)
     k: jax.Array,
@@ -67,7 +66,16 @@ def flash_attention(
 
     Sequence length is padded to a multiple of ``block_q`` internally; the
     bias pad is NEG_INF on key columns so padded keys receive zero weight.
+
+    Differentiable: the backward pass recomputes attention with the XLA
+    composition (``reference_attention``) and differentiates that — the
+    forward stays a Pallas kernel, gradients are exact (same math).
     """
+    return _flash_attention_fwd_impl(q, k, v, bias, block_q)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _flash_attention_fwd_impl(q, k, v, bias, block_q: int = DEFAULT_BLOCK_Q):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     s_pad = -(-s // block_q) * block_q
@@ -114,6 +122,28 @@ def flash_attention(
         ),
     )(qp, kp, vp, bp)
     return out[:, :, :s, :]
+
+
+def _flash_attention_vjp_fwd(q, k, v, bias, block_q):
+    return _flash_attention_fwd_impl(q, k, v, bias, block_q), (q, k, v, bias)
+
+
+def _flash_attention_vjp_bwd(block_q, residuals, g):
+    q, k, v, bias = residuals
+    s = q.shape[2]
+    bias_s = bias[:, :, :s, :s] if bias.shape[-1] != s else bias
+    _, vjp = jax.vjp(reference_attention, q, k, v, bias_s)
+    dq, dk, dv, dbias_s = vjp(g)
+    if bias.shape[-1] != s:
+        widths = [(0, 0), (0, 0),
+                  (0, bias.shape[2] - s), (0, bias.shape[3] - s)]
+        dbias = jnp.pad(dbias_s, widths)
+    else:
+        dbias = dbias_s
+    return dq, dk, dv, dbias
+
+
+flash_attention.defvjp(_flash_attention_vjp_fwd, _flash_attention_vjp_bwd)
 
 
 def reference_attention(q, k, v, bias) -> jax.Array:

@@ -13,7 +13,7 @@ scan design, so specs lead with None.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

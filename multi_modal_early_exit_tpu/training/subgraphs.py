@@ -18,7 +18,7 @@ Definitions (matching the reference's structural intent):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

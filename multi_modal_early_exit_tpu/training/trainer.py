@@ -17,7 +17,6 @@ entry-point training logic (EE/IC_only.py:144-217):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -25,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multi_modal_early_exit_tpu.config.exit_config import EarlyExitStrategy
 from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
 from multi_modal_early_exit_tpu.ops.criteria import entropy as entropy_fn
 from multi_modal_early_exit_tpu.training.losses import ee_loss_fn

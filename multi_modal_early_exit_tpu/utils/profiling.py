@@ -17,7 +17,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict
 
 
 def runtime_wrapper(fn: Callable) -> Callable:

@@ -70,3 +70,25 @@ def test_flash_accepts_prepadded_bias():
     want = np.asarray(fa.reference_attention(q, k, v, bias))
     got = np.asarray(fa.flash_attention(q, k, v, pre, block_q=blk))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match_reference():
+    """custom_vjp: grads through the flash kernel equal XLA-composition grads."""
+    rng = np.random.default_rng(3)
+    b, h, s, d = 1, 2, 12, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+
+    def loss_flash(q, k, v, bias):
+        return fa.flash_attention(q, k, v, bias, 16).sum()
+
+    def loss_ref(q, k, v, bias):
+        return fa.reference_attention(q, k, v, bias).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4)

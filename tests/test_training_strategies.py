@@ -143,3 +143,24 @@ def test_entropyreg_changes_exit_branch_grads_only():
     )
     assert head_delta > 1e-8
     assert trunk_delta < 1e-6
+
+
+def test_gradient_checkpointing_same_grads():
+    """Remat must not change gradients, only memory."""
+    base_bb = LayoutLMv3Config.tiny(num_labels=4)
+    batch = make_batch(None)
+    grads = []
+    for remat in (False, True):
+        cfg = EEModelConfig(
+            backbone=base_bb.replace(gradient_checkpointing=remat),
+            exit=ExitConfig(exits=("text_avg", 1)),
+        )
+        params = init_ee_params(jax.random.key(0), cfg)
+        (_, _), g = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+            params, cfg, batch, deterministic=True
+        )
+        grads.append(g)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        # recomputation reorders float ops; allow tiny drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
