@@ -85,6 +85,7 @@ def main(argv: Optional[list] = None) -> Dict[str, float]:
         temperature=cfg.temperature,
         gamma=cfg.gamma,
         seed=cfg.seed,
+        bf16=cfg.compute_dtype in ("bfloat16", "bf16"),
     )
     trainer = EETrainer(model_cfg, params, args, total_steps, mesh=mesh)
     manager = CheckpointManager(

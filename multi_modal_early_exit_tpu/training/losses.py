@@ -154,12 +154,28 @@ def ee_loss_fn(
     rng: Optional[jax.Array] = None,
     exit_weights: Optional[jax.Array] = None,
     deterministic: bool = False,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    """Full EE objective. Returns (total_loss, aux) for jax.value_and_grad."""
+    """Full EE objective. Returns (total_loss, aux) for jax.value_and_grad.
+
+    ``compute_dtype=jnp.bfloat16`` gives mixed-precision training: the
+    forward runs in bf16 (MXU-native, half the activation HBM traffic) while
+    master params/grads/optimizer state stay f32 (the cast is inside the
+    differentiated function, so gradients come back f32). Losses/softmax are
+    computed in f32 regardless (cross_entropy upcasts).
+    """
     from multi_modal_early_exit_tpu.models.ee.model import ee_forward
 
+    fwd_params = params
+    if compute_dtype is not None:
+        fwd_params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+
     outputs = ee_forward(
-        params, cfg,
+        fwd_params, cfg,
         batch["input_ids"], batch["bbox"], batch["pixel_values"],
         batch.get("attention_mask"),
         deterministic=deterministic, rng=rng,

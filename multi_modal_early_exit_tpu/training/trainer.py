@@ -54,6 +54,7 @@ class TrainingArguments:
     gamma: float = 0.0
     seed: int = 42
     log_every: int = 10
+    bf16: bool = False  # mixed precision: bf16 forward, f32 master params
 
 
 def _is_trainable_two_stage(path: str) -> bool:
@@ -113,18 +114,22 @@ def make_train_step(
     tx: optax.GradientTransformation,
     exit_weights: Optional[jax.Array],
     accum_steps: int = 1,
+    compute_dtype=None,
 ) -> Callable:
     """Build the jittable train step.
 
     Batch layout with accumulation: each array is (accum_steps, micro_bs, ...).
     Uses lax.scan to accumulate grads, then one optimizer update.
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision (f32 master
+    params/grads, bf16 forward).
     """
     strategy = cfg.exit.training_strategy
     use_entropyreg = strategy.uses_entropyreg
 
     def loss_and_grads(params, micro_batch, rng):
         (loss, aux), grads = jax.value_and_grad(ee_loss_fn, has_aux=True)(
-            params, cfg, micro_batch, rng=rng, exit_weights=exit_weights
+            params, cfg, micro_batch, rng=rng, exit_weights=exit_weights,
+            compute_dtype=compute_dtype,
         )
         if use_entropyreg:
             # normalized softmax entropy across exits (EE_modules.py:357-370)
@@ -199,7 +204,8 @@ class EETrainer:
 
         self._step_fn = jax.jit(
             make_train_step(
-                cfg, self.tx, weights, args.gradient_accumulation_steps
+                cfg, self.tx, weights, args.gradient_accumulation_steps,
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
             ),
             donate_argnums=(0, 1),
         )

@@ -164,3 +164,24 @@ def test_gradient_checkpointing_same_grads():
         # recomputation reorders float ops; allow tiny drift
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_bf16_mixed_precision_trains():
+    """bf16 forward with f32 master params: grads f32, loss finite, close to
+    the f32 loss."""
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    batch = make_batch(cfg)
+    (l32, _), g32 = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+        params, cfg, batch, deterministic=True
+    )
+    (l16, _), g16 = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+        params, cfg, batch, deterministic=True, compute_dtype=jnp.bfloat16
+    )
+    assert np.isfinite(float(l16))
+    assert abs(float(l16) - float(l32)) < 0.05
+    for g in jax.tree.leaves(g16):
+        assert g.dtype == jnp.float32
