@@ -50,6 +50,8 @@ def main(argv: Optional[list] = None) -> dict:
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "native", "jax", "numpy"])
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--plot", action="store_true",
+                        help="save an accuracy-vs-average-exit Pareto scatter")
     args = parser.parse_args(argv)
 
     logits = load_npz(os.path.join(args.checkpoint_dir, "exit_logits-test.npz"))
@@ -84,6 +86,35 @@ def main(argv: Optional[list] = None) -> dict:
         ],
     }
     save_json(os.path.join(args.checkpoint_dir, "mixture_search.json"), out)
+
+    if args.plot:
+        # accuracy-vs-average-exit scatter with the Pareto front highlighted
+        # (parity: the plotly scatter in EE/thresh.py:288-302)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(7, 5))
+            n_bg = min(len(result["accuracy"]), 20000)
+            idx_bg = np.random.default_rng(0).choice(
+                len(result["accuracy"]), n_bg, replace=False
+            )
+            ax.scatter(result["average_exit"][idx_bg],
+                       result["accuracy"][idx_bg],
+                       s=2, alpha=0.15, label="mixtures")
+            ax.plot(result["average_exit"][front],
+                    result["accuracy"][front],
+                    "o-", color="crimson", ms=4, label="Pareto front")
+            ax.set_xlabel("average exit index")
+            ax.set_ylabel("accuracy")
+            ax.legend()
+            path = os.path.join(args.checkpoint_dir, "pareto.png")
+            fig.savefig(path, dpi=120, bbox_inches="tight")
+            logger_message(f"Pareto scatter saved to {path}")
+        except Exception as e:  # plotting never fails the search
+            logger_message(f"plotting skipped: {e}", type="warning")
     return out
 
 

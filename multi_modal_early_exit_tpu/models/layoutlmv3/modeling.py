@@ -24,8 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -389,6 +388,26 @@ def attention_apply(
         use_flash_attention,
     )
 
+    if isinstance(attn_bias, FusedBiasContext):
+        # in-kernel bias construction: no (B,H,S,S) tensor exists at all
+        from multi_modal_early_exit_tpu.ops.fused_bias_attention import (
+            fused_bias_attention,
+        )
+
+        ctx = fused_bias_attention(
+            q, k, v,
+            attn_bias.position_ids, attn_bias.cx, attn_bias.cy,
+            attn_bias.mask, attn_bias.t1, attn_bias.tx, attn_bias.ty,
+            rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+            rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+        )
+        ctx = ctx.astype(hidden.dtype)
+        b, h, s, _ = ctx.shape
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        out = linear(p["output"], ctx)
+        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
+        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
     use_flash = (
         (deterministic or cfg.attention_probs_dropout_prob == 0.0)
         and attn_bias is not None
@@ -532,6 +551,31 @@ def init_params(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
         "classifier": init_classifier(k[3], cfg, dtype),
     }
     return params
+
+
+class FusedBiasContext(NamedTuple):
+    """Raw ingredients for in-kernel bias construction
+    (ops/fused_bias_attention.py): per-token vectors + pre-scaled tables.
+    Passed to the encoder in place of the materialized (B,H,S,S) bias."""
+
+    position_ids: jax.Array  # (B, S) int32
+    cx: jax.Array            # (B, S) int32
+    cy: jax.Array            # (B, S) int32
+    mask: jax.Array          # (B, S) int32
+    t1: jax.Array            # (rel_bins, H) f32, 1/sqrt(d) folded
+    tx: jax.Array            # (rel2d_bins, H)
+    ty: jax.Array            # (rel2d_bins, H)
+
+
+def use_fused_bias_attention() -> bool:
+    """In-kernel bias construction; opt-in via MMEE_FUSED_BIAS=1 (TPU only)."""
+    import os
+
+    from multi_modal_early_exit_tpu.ops.flash_attention import (
+        use_flash_attention,
+    )
+
+    return bool(os.environ.get("MMEE_FUSED_BIAS")) and use_flash_attention()
 
 
 def make_attention_bias(
@@ -681,13 +725,33 @@ def backbone_apply(
         use_flash_attention,
     )
 
-    bias_pad_to = None
-    if use_flash_attention() and combined.shape[1] % DEFAULT_BLOCK_Q:
-        bias_pad_to = -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
-    attn_bias = make_attention_bias(
-        params, cfg, final_position_ids, final_bbox, full_mask,
-        dtype=combined.dtype, pad_to=bias_pad_to,
-    )
+    if (
+        deterministic
+        and cfg.has_relative_attention_bias
+        and cfg.has_spatial_attention_bias
+        and use_fused_bias_attention()
+    ):
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        enc = params["encoder"]
+        attn_bias = FusedBiasContext(
+            position_ids=final_position_ids.astype(jnp.int32),
+            cx=final_bbox[:, :, 0].astype(jnp.int32),
+            cy=final_bbox[:, :, 3].astype(jnp.int32),
+            mask=full_mask.astype(jnp.int32),
+            t1=enc["rel_pos_bias"].astype(jnp.float32) * scale,
+            tx=enc["rel_pos_x_bias"].astype(jnp.float32) * scale,
+            ty=enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
+        )
+    else:
+        bias_pad_to = None
+        if use_flash_attention() and combined.shape[1] % DEFAULT_BLOCK_Q:
+            bias_pad_to = (
+                -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
+            )
+        attn_bias = make_attention_bias(
+            params, cfg, final_position_ids, final_bbox, full_mask,
+            dtype=combined.dtype, pad_to=bias_pad_to,
+        )
 
     final, cls_per_layer, hidden_per_layer = encoder_apply(
         params["encoder"], cfg, combined, attn_bias,
