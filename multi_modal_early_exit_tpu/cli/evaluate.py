@@ -54,7 +54,8 @@ def load_assets(cfg: ExperimentConfig):
                 if k in ("checkpoint", "test_dataset", "labelset",
                          "exit_threshold", "inference_strategy", "calibrate",
                          "full_test", "step", "exit_policy", "epsilon",
-                         "downsampling", "eval_batch_size")
+                         "downsampling", "eval_batch_size", "plot_exits",
+                         "benchmark_OCR", "print_freq", "use_wandb")
             }}
             cfg = ExperimentConfig.from_dict(merged)
         ds_name = cfg.test_dataset or cfg.dataset

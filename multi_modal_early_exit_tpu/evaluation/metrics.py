@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import cached_property
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.special
@@ -265,6 +265,31 @@ def compute_auc_aupr(neg, pos, pos_label=1):
     if pos_label == 1:
         return auc_, aupr
     return 1 - auc_, 1 - aupr
+
+
+def multi_aurc_plot(
+    caches: "dict[str, StatsCache]",
+    out_path: Optional[str] = None,
+) -> "dict[str, float]":
+    """Overlayed risk-coverage curves for several confidence sources
+    (parity: EE/metrics.py:455-468 multi_aurc_plot). Returns {name: aurc};
+    saves a figure when ``out_path`` is given."""
+    aurcs = {name: aurc(cache) for name, cache in caches.items()}
+    if out_path is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for name, cache in caches.items():
+            coverages, risks, _ = cache.rc_curve_stats
+            ax.plot(coverages, risks, label=f"{name} (AURC={aurcs[name]:.4f})")
+        ax.set_xlabel("coverage")
+        ax.set_ylabel("selective risk")
+        ax.legend()
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    return aurcs
 
 
 # --------------------------------------------------------------------------

@@ -58,9 +58,9 @@ def _lookup(buckets: jax.Array, table: jax.Array) -> jax.Array:
     onehot = (
         buckets[:, :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (bq, bk, bins), 2)
-    ).astype(table.dtype)
+    ).astype(jnp.bfloat16)  # exact 0/1 — bf16 halves VMEM pressure
     return jax.lax.dot_general(
-        onehot.reshape(bq * bk, bins), table,
+        onehot.reshape(bq * bk, bins), table.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(bq, bk, h)
@@ -112,7 +112,9 @@ def _kernel(
     # heads against it (bias shared across heads — built once per cell)
     def run(bias_scratch):
         def col_body(cb, _):
-            bias_scratch[:, pl.ds(cb * block_k, block_k), :] = bias_block(cb)
+            bias_scratch[:, pl.ds(cb * block_k, block_k), :] = (
+                bias_block(cb).astype(bias_scratch.dtype)
+            )
             return 0
 
         jax.lax.fori_loop(0, n_cb, col_body, 0)
@@ -135,7 +137,7 @@ def _kernel(
 
     pl.run_scoped(
         run,
-        pltpu.VMEM((block_q, s, num_heads), jnp.float32),
+        pltpu.VMEM((block_q, s, num_heads), jnp.bfloat16),
     )
 
 
@@ -163,7 +165,7 @@ def fused_bias_attention(
     t1: jax.Array,             # (rel_bins, H) f32, scale pre-folded
     tx: jax.Array,             # (rel2d_bins, H)
     ty: jax.Array,             # (rel2d_bins, H)
-    block_q: int = 128,
+    block_q: int = 64,
     block_k: int = 128,
     rel_bins: int = 32,
     max_rel: int = 128,

@@ -113,3 +113,16 @@ def test_research_cli_over_dump(trained):
     # pareto front: accuracy increases along increasing average exit
     assert accs == sorted(accs)
     assert exits == sorted(exits)
+
+
+def test_evaluate_plot_exits_writes_grids(trained):
+    from multi_modal_early_exit_tpu.cli import evaluate
+
+    _, ckpts = trained
+    evaluate.main([
+        "-c", ckpts[-1], "-d", "synthetic_rvl_cdip_tiny",
+        "--exit_threshold", "0.5", "--plot_exits",
+    ])
+    pngs = glob.glob("results/*/plots/exit_*.png")
+    assert pngs
+    assert all(os.path.getsize(p) > 0 for p in pngs)

@@ -67,10 +67,12 @@ def test_fused_bias_attention_matches_two_step():
             rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
         )
     )
-    # padded rows (mask 0) produce garbage in both paths; compare real rows
-    np.testing.assert_allclose(got[0], want[0], atol=3e-5, rtol=1e-4)
+    # padded rows (mask 0) produce garbage in both paths; compare real
+    # rows. Tolerance is bf16-level: the kernel stores the bias tile in
+    # bf16 VMEM scratch (same precision as the dense bf16 bias path).
+    np.testing.assert_allclose(got[0], want[0], atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(got[1, :, :-5], want[1, :, :-5],
-                               atol=3e-5, rtol=1e-4)
+                               atol=5e-3, rtol=1e-2)
 
 
 def test_model_level_fused_bias_path(monkeypatch):
@@ -107,5 +109,5 @@ def test_model_level_fused_bias_path(monkeypatch):
     fused = ee_forward(params, cfg, *args)
     np.testing.assert_allclose(
         np.asarray(fused.policy_logits()), np.asarray(plain.policy_logits()),
-        atol=5e-5, rtol=1e-4,
+        atol=2e-2, rtol=1e-2,  # bf16 bias quantization inside the kernel
     )

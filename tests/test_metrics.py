@@ -87,3 +87,23 @@ def test_calc_metrics_bundle_keys():
     out = calc_metrics(logits, y)
     assert set(out) == {"accuracy", "brier_loss", "nll", "f1_micro", "f1_macro",
                         "ece", "aurc"}
+
+
+def test_multi_aurc_plot(tmp_path):
+    from multi_modal_early_exit_tpu.evaluation.metrics import (
+        StatsCache,
+        multi_aurc_plot,
+    )
+
+    rng = np.random.RandomState(0)
+    correct = rng.randint(0, 2, 100)
+    caches = {
+        "good": StatsCache(confids=correct + rng.rand(100) * 0.1,
+                           correct=correct),
+        "random": StatsCache(confids=rng.rand(100), correct=correct),
+    }
+    out = str(tmp_path / "rc.png")
+    aurcs = multi_aurc_plot(caches, out_path=out)
+    assert aurcs["good"] < aurcs["random"]
+    import os
+    assert os.path.getsize(out) > 0
