@@ -51,19 +51,20 @@ def _bucket(rel: jax.Array, num_buckets: int, max_distance: int) -> jax.Array:
 
 
 def _lookup(buckets: jax.Array, table: jax.Array) -> jax.Array:
-    """(bq, bk) int buckets + (bins, H) table -> (bq, bk, H) via one-hot
-    matmul (the MXU-native gather)."""
+    """(bq, bk) int buckets + (bins, H) table -> (H, bq, bk) via one-hot
+    matmul (the MXU-native gather). Head-major output so downstream refs
+    index heads on an untiled leading dim (Mosaic lane-alignment rule)."""
     bq, bk = buckets.shape
     bins, h = table.shape
     onehot = (
-        buckets[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (bq, bk, bins), 2)
+        buckets[None, :, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (bins, bq, bk), 0)
     ).astype(jnp.bfloat16)  # exact 0/1 — bf16 halves VMEM pressure
     return jax.lax.dot_general(
-        onehot.reshape(bq * bk, bins), table.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
+        table.astype(jnp.bfloat16), onehot.reshape(bins, bq * bk),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(bq, bk, h)
+    ).reshape(h, bq, bk)
 
 
 def _kernel(
@@ -102,23 +103,26 @@ def _kernel(
             _lookup(b1, t1_ref[:])
             + _lookup(bx, tx_ref[:])
             + _lookup(by, ty_ref[:])
-        )  # (bq, bk, H) f32
+        )  # (H, bq, bk) f32
         bias = bias + jnp.where(
             mask_c == 0, NEG_INF, 0.0
-        )[None, :, None]
+        )[None, None, :]
         return bias
 
     # build the full (bq, S, H) bias tile in column blocks, then run all
     # heads against it (bias shared across heads — built once per cell)
     def run(bias_scratch):
         def col_body(cb, _):
-            bias_scratch[:, pl.ds(cb * block_k, block_k), :] = (
+            bias_scratch[:, :, pl.ds(cb * block_k, block_k)] = (
                 bias_block(cb).astype(bias_scratch.dtype)
             )
             return 0
 
         jax.lax.fori_loop(0, n_cb, col_body, 0)
-        for h in range(num_heads):
+
+        def head_body(h, _):
+            # leading (untiled) dims allow dynamic indexing; lane/sublane
+            # slices stay static
             q = q_ref[0, h].astype(jnp.float32) * scale
             k = k_ref[0, h].astype(jnp.float32)
             v = v_ref[0, h]
@@ -126,7 +130,7 @@ def _kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            sc = sc + bias_scratch[:, :, h]
+            sc = sc + bias_scratch[h].astype(jnp.float32)
             m = jnp.max(sc, axis=-1, keepdims=True)
             p = jnp.exp(sc - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -134,10 +138,13 @@ def _kernel(
             o_ref[0, h] = jnp.dot(
                 p, v, preferred_element_type=jnp.float32
             ).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, num_heads, head_body, 0)
 
     pl.run_scoped(
         run,
-        pltpu.VMEM((block_q, s, num_heads), jnp.bfloat16),
+        pltpu.VMEM((num_heads, block_q, s), jnp.bfloat16),
     )
 
 
@@ -165,7 +172,7 @@ def fused_bias_attention(
     t1: jax.Array,             # (rel_bins, H) f32, scale pre-folded
     tx: jax.Array,             # (rel2d_bins, H)
     ty: jax.Array,             # (rel2d_bins, H)
-    block_q: int = 64,
+    block_q: int = 128,
     block_k: int = 128,
     rel_bins: int = 32,
     max_rel: int = 128,
