@@ -58,7 +58,7 @@ def main() -> None:
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
     seq = 512
     rng = np.random.default_rng(0)
     bb = cfg.backbone

@@ -225,6 +225,11 @@ def fused_bias_attention(
                                    lambda i, j: (i, 0, j, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            # bias scratch + one-hot transients sit just above the 16M
+            # default scoped-vmem soft limit at some batch sizes
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_pad * s_pad * d
             + 2 * b * s_pad * s_pad * (rel_bins + 2 * rel2d_bins) * h,
