@@ -39,12 +39,14 @@ from multi_modal_early_exit_tpu.models.ee.heads import (
 from multi_modal_early_exit_tpu.models.ee.model import canonical_exit_order
 from multi_modal_early_exit_tpu.models.layoutlmv3.config import EEModelConfig
 from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
+    FusedBiasContext,
     classifier_apply,
     embed_text,
     embed_vision,
     encoder_layer_apply,
     layer_norm,
     make_attention_bias,
+    use_fused_bias_attention,
     visual_bbox,
 )
 
@@ -211,10 +213,30 @@ def make_cascade_forward(
             hidden_c, bbox_c, pos_c, mask_c = (
                 jnp.take(t, sel, axis=0) for t in state
             )
-            bias_c = make_attention_bias(
-                params["backbone"], bb_cfg, pos_c, bbox_c, mask_c,
-                dtype=hidden_c.dtype,
-            )
+            if (
+                bb_cfg.has_relative_attention_bias
+                and bb_cfg.has_spatial_attention_bias
+                and use_fused_bias_attention(default=True)
+            ):
+                # in-kernel bias: skips the per-stage (c,H,S,S) gather build
+                import math as _math
+
+                sc = 1.0 / _math.sqrt(bb_cfg.head_dim)
+                enc = params["backbone"]["encoder"]
+                bias_c = FusedBiasContext(
+                    position_ids=pos_c.astype(jnp.int32),
+                    cx=bbox_c[:, :, 0].astype(jnp.int32),
+                    cy=bbox_c[:, :, 3].astype(jnp.int32),
+                    mask=mask_c.astype(jnp.int32),
+                    t1=enc["rel_pos_bias"].astype(jnp.float32) * sc,
+                    tx=enc["rel_pos_x_bias"].astype(jnp.float32) * sc,
+                    ty=enc["rel_pos_y_bias"].astype(jnp.float32) * sc,
+                )
+            else:
+                bias_c = make_attention_bias(
+                    params["backbone"], bb_cfg, pos_c, bbox_c, mask_c,
+                    dtype=hidden_c.dtype,
+                )
 
             def body(h, layer_p):
                 return encoder_layer_apply(layer_p, bb_cfg, h, bias_c), None

@@ -567,15 +567,27 @@ class FusedBiasContext(NamedTuple):
     ty: jax.Array            # (rel2d_bins, H)
 
 
-def use_fused_bias_attention() -> bool:
-    """In-kernel bias construction; opt-in via MMEE_FUSED_BIAS=1 (TPU only)."""
+def use_fused_bias_attention(default: bool = False) -> bool:
+    """In-kernel bias construction (TPU only).
+
+    MMEE_FUSED_BIAS=1 forces it on, =0 forces it off; unset uses the
+    call site's measured-best default (cascade stages: on — the per-stage
+    bias gather dominates at compacted row counts; one-shot full-depth
+    forward: off — recomputing the bias per layer costs more than the
+    one-time dense build there).
+    """
     import os
 
     from multi_modal_early_exit_tpu.ops.flash_attention import (
         use_flash_attention,
     )
 
-    return bool(os.environ.get("MMEE_FUSED_BIAS")) and use_flash_attention()
+    flag = os.environ.get("MMEE_FUSED_BIAS")
+    if flag == "0":
+        return False
+    if flag:
+        return use_flash_attention()
+    return default and use_flash_attention()
 
 
 def make_attention_bias(
