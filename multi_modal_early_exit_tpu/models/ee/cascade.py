@@ -126,6 +126,13 @@ def make_cascade_forward(
     def cascade(params, input_ids, bbox, pixel_values, attention_mask):
         B = input_ids.shape[0]
         K = bb_cfg.num_labels
+        if n_emb == 0 and capacities[0] < B:
+            # with no embedding exits, a sample forced out before stage 0
+            # would have no prediction at all
+            raise ValueError(
+                "capacities[0] must cover the full batch when the config "
+                "has no embedding exits"
+            )
 
         # ---- stage 0: embeddings + embedding exits (full batch) --------
         text_emb = embed_text(
@@ -164,9 +171,17 @@ def make_cascade_forward(
                 x = jnp.mean(text_emb, axis=1)
             else:
                 x = jnp.mean(combined, axis=1)
-            logits_j = exit_head_apply(
+            head_out = exit_head_apply(
                 params["embedding_exits"][name], bb_cfg, x
             ).astype(jnp.float32)
+            if exit_cfg.apply_gating:
+                # gate heads: 2-logit criterion; prediction = classifier on
+                # the exit input (LayoutLMv3.py:741-743, 768)
+                logits_j = classifier_apply(
+                    params["backbone"]["classifier"], bb_cfg, x
+                ).astype(jnp.float32)
+            else:
+                logits_j = head_out
             if use_lte:
                 crit_j = (
                     lte_head_apply(params["lte"], x).astype(jnp.float32)
@@ -174,7 +189,7 @@ def make_cascade_forward(
                     else jnp.full((B,), jnp.inf, jnp.float32)
                 )
             else:
-                crit_j = crit_fn(logits_j)
+                crit_j = crit_fn(head_out)
             exits_now = running & sign(crit_j, thr)
             out_logits = jnp.where(exits_now[:, None], logits_j, out_logits)
             exit_ids = jnp.where(exits_now, j, exit_ids)
@@ -255,15 +270,22 @@ def make_cascade_forward(
                 head = jax.tree.map(
                     lambda x: x[stage_idx], params["encoder_exits"]
                 )
-                logits_c = exit_head_apply(
+                head_out = exit_head_apply(
                     head, bb_cfg, hidden_c[:, 0, :]
                 ).astype(jnp.float32)
+                if exit_cfg.apply_gating:
+                    logits_c = classifier_apply(
+                        params["backbone"]["classifier"], bb_cfg,
+                        hidden_c[:, 0, :],
+                    ).astype(jnp.float32)
+                else:
+                    logits_c = head_out
                 crit_c = (
                     lte_head_apply(
                         params["lte"], hidden_c[:, 0, :]
                     ).astype(jnp.float32)
                     if use_lte
-                    else crit_fn(logits_c)
+                    else crit_fn(head_out)
                 )
 
             # scatter stage results back to batch rows

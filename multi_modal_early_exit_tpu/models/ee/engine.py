@@ -155,8 +155,16 @@ class AnytimeEngine:
                 x = jnp.mean(text_emb, axis=1)
             else:
                 x = jnp.mean(combined, axis=1)
-            logits_e = exit_head_apply(params["embedding_exits"][name], cfg, x)
-            emb_logits.append(logits_e)
+            head_out = exit_head_apply(params["embedding_exits"][name], cfg, x)
+            if self.exit_cfg.apply_gating:
+                # gate heads emit 2 logits used only as the exit criterion;
+                # the class prediction is the final classifier applied to
+                # this exit's input (LayoutLMv3.py:741-743, 768)
+                emb_logits.append(
+                    classifier_apply(params["backbone"]["classifier"], cfg, x)
+                )
+            else:
+                emb_logits.append(head_out)
             if self._use_lte:
                 # LTE scores exist only at the concat exit (LayoutLMv3.py:597)
                 if name == "text_visual_concat":
@@ -168,7 +176,7 @@ class AnytimeEngine:
                 else:
                     emb_crit.append(jnp.full((b,), jnp.inf))
             else:
-                emb_crit.append(self.crit_fn(logits_e))
+                emb_crit.append(self.crit_fn(head_out))
         if emb_logits:
             logits = jnp.stack(emb_logits, 0)  # (E_emb, B, K)
             crit = jnp.stack(emb_crit, 0)
@@ -204,7 +212,13 @@ class AnytimeEngine:
             head = jax.tree.map(
                 lambda x: x[stage_idx], params["encoder_exits"]
             )
-            logits = exit_head_apply(head, cfg, hidden[:, 0, :])
+            head_out = exit_head_apply(head, cfg, hidden[:, 0, :])
+            if self.exit_cfg.apply_gating:
+                logits = classifier_apply(
+                    params["backbone"]["classifier"], cfg, hidden[:, 0, :]
+                )
+            else:
+                logits = head_out
             if self._use_lte:
                 from multi_modal_early_exit_tpu.models.ee.heads import (
                     lte_head_apply,
@@ -212,7 +226,7 @@ class AnytimeEngine:
 
                 crit = lte_head_apply(params["lte"], hidden[:, 0, :])
             else:
-                crit = self.crit_fn(logits)
+                crit = self.crit_fn(head_out)
         return hidden, logits, crit
 
     # ------------------------------------------------------------------

@@ -84,3 +84,27 @@ def test_capacities_from_distribution():
     )
     # 30% survive embeddings -> 24 rounded; 10% survive exit 2 -> 8
     assert caps == (24, 8)
+
+
+def test_cascade_gate_heads_match_exact_policy(setup):
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1), encoder_layer_strategy="gate"),
+    )
+    params = init_ee_params(jax.random.key(4), cfg)
+    _, _, batch = setup
+    B = batch[0].shape[0]
+    out = ee_forward(params, cfg, *batch)
+    threshold = 0.6
+    expected_exits = np.asarray(decide_exits(out, cfg.exit, threshold))
+    store = np.asarray(out.policy_logits(), np.float32)
+    expected_logits = store[expected_exits, np.arange(B)]
+
+    cascade = jax.jit(
+        make_cascade_forward(cfg, capacities=(B, B), threshold=threshold)
+    )
+    res = cascade(params, *batch)
+    np.testing.assert_array_equal(np.asarray(res.exit_ids), expected_exits)
+    assert res.logits.shape == (B, 4)
+    np.testing.assert_allclose(np.asarray(res.logits), expected_logits,
+                               atol=3e-5, rtol=1e-4)

@@ -131,3 +131,40 @@ def test_engine_lte_matches_batched_forward():
         batch["attention_mask"],
     )
     np.testing.assert_array_equal(got_exits, expected_exits)
+
+
+def test_engine_gate_heads_match_batched_forward():
+    """GATE heads: engine predictions must be the classifier on the exit
+    input (gated logits), with the 2-logit gate output as criterion only."""
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1), encoder_layer_strategy="gate"),
+    )
+    params = init_ee_params(jax.random.key(4), cfg)
+    rng = np.random.default_rng(5)
+    B, S = 7, 16
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        bbox=jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1),
+                         jnp.int32),
+        pixel_values=jnp.asarray(rng.standard_normal((B, 3, 32, 32)),
+                                 jnp.float32),
+        attention_mask=jnp.ones((B, S), jnp.int32),
+    )
+    out = ee_forward(params, cfg, batch["input_ids"], batch["bbox"],
+                     batch["pixel_values"], batch["attention_mask"])
+    threshold = 0.6
+    expected_exits = np.asarray(decide_exits(out, cfg.exit, threshold))
+    store = np.asarray(out.policy_logits(), np.float32)  # gated logits
+    expected_logits = store[expected_exits, np.arange(B)]
+
+    engine = AnytimeEngine(params, cfg, threshold=threshold, max_batch=8,
+                           min_bucket=4)
+    got_logits, got_exits, _ = engine.infer(
+        batch["input_ids"], batch["bbox"], batch["pixel_values"],
+        batch["attention_mask"],
+    )
+    np.testing.assert_array_equal(got_exits, expected_exits)
+    assert got_logits.shape == (B, 4)  # class logits, not 2-wide gate output
+    np.testing.assert_allclose(got_logits, expected_logits, atol=2e-5,
+                               rtol=1e-4)
