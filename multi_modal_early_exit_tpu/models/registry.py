@@ -69,6 +69,67 @@ def _maybe_load_pretrained(bb: LayoutLMv3Config, weights: str) -> Optional[Param
         return None
 
 
+def infer_backbone_config(
+    params: Params, base: Optional[LayoutLMv3Config] = None
+) -> LayoutLMv3Config:
+    """Reconstruct the backbone config from a parameter pytree's shapes.
+
+    Every shape-bearing field (vocab, hidden, layers, heads, intermediate,
+    coordinate/shape sizes, positions, patch/input size, bias bins, labels)
+    is read off the arrays; non-shape hyperparameters (dropouts, eps,
+    max_rel distances) come from ``base`` (defaults: base()). Used by
+    serving.Pipeline.from_checkpoint so restored models always match their
+    weights regardless of what the saved config recorded.
+    """
+    import numpy as np
+
+    base = base or LayoutLMv3Config.base()
+    bb = params["backbone"] if "backbone" in params else params
+    emb = bb["embeddings"]
+    enc = bb["encoder"]
+    layers = enc["layers"]
+    hidden = int(np.shape(emb["word_embeddings"])[1])
+    patch_kernel_in = int(
+        np.shape(bb["visual"]["patch_embed"]["kernel"])[0]
+    )
+    patch_size = int(round((patch_kernel_in / 3) ** 0.5))
+    n_patches = int(np.shape(bb["visual"]["pos_embed"])[1]) - 1
+    input_size = int(round(n_patches ** 0.5)) * patch_size
+    kwargs = dict(
+        vocab_size=int(np.shape(emb["word_embeddings"])[0]),
+        hidden_size=hidden,
+        num_hidden_layers=int(
+            np.shape(jax.tree.leaves(layers)[0])[0]
+        ),
+        intermediate_size=int(np.shape(layers["intermediate"]["bias"])[1]),
+        max_position_embeddings=int(
+            np.shape(emb["position_embeddings"])[0]
+        ),
+        max_2d_position_embeddings=int(
+            np.shape(emb["x_position_embeddings"])[0]
+        ),
+        coordinate_size=int(np.shape(emb["x_position_embeddings"])[1]),
+        shape_size=int(np.shape(emb["h_position_embeddings"])[1]),
+        patch_size=patch_size,
+        input_size=input_size,
+        has_relative_attention_bias="rel_pos_bias" in enc,
+        has_spatial_attention_bias="rel_pos_x_bias" in enc,
+    )
+    if "classifier" in bb:
+        kwargs["num_labels"] = int(
+            np.shape(bb["classifier"]["out_proj"]["bias"])[0]
+        )
+    if "rel_pos_bias" in enc:
+        kwargs["rel_pos_bins"] = int(np.shape(enc["rel_pos_bias"])[0])
+        kwargs["num_attention_heads"] = int(np.shape(enc["rel_pos_bias"])[1])
+    else:
+        # heads not shape-inferable without bias tables; keep base ratio
+        kwargs["num_attention_heads"] = max(hidden // base.head_dim, 1)
+    if "rel_pos_x_bias" in enc:
+        kwargs["rel_2d_pos_bins"] = int(np.shape(enc["rel_pos_x_bias"])[0])
+    return base.replace(**kwargs)
+
+
 def build_model(
     cfg,
     num_labels: int = 16,
