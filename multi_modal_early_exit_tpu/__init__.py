@@ -34,3 +34,5 @@ from multi_modal_early_exit_tpu.config.exit_config import (  # noqa: F401
     EarlyExitStrategy,
     ExitConfig,
 )
+
+from multi_modal_early_exit_tpu.serving import Pipeline  # noqa: F401,E402
