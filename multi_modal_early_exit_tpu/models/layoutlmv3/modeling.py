@@ -755,8 +755,17 @@ def backbone_apply(
             ty=enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
         )
     else:
+        # pre-pad the bias only when the flash kernel will actually consume
+        # it (same eligibility as attention_apply) — the training path with
+        # attention dropout uses the XLA composition at the true length,
+        # and padding there would drag a padded (B,H,P,P) tensor through
+        # the whole backward pass
+        flash_eligible = (
+            (deterministic or cfg.attention_probs_dropout_prob == 0.0)
+            and use_flash_attention()
+        )
         bias_pad_to = None
-        if use_flash_attention() and combined.shape[1] % DEFAULT_BLOCK_Q:
+        if flash_eligible and combined.shape[1] % DEFAULT_BLOCK_Q:
             bias_pad_to = (
                 -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
             )
