@@ -44,10 +44,14 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
     embed_text,
     embed_vision,
     encoder_layer_apply,
+    kernel_attention_bias,
     layer_norm,
     make_attention_bias,
     use_fused_bias_attention,
     visual_bbox,
+)
+from multi_modal_early_exit_tpu.ops.flash_attention import (
+    use_flash_attention,
 )
 
 
@@ -231,22 +235,32 @@ def make_cascade_forward(
             if (
                 bb_cfg.has_relative_attention_bias
                 and bb_cfg.has_spatial_attention_bias
-                and use_fused_bias_attention(default=True)
+                and use_flash_attention()
             ):
-                # in-kernel bias: skips the per-stage (c,H,S,S) gather build
-                import math as _math
+                if use_fused_bias_attention():
+                    # per-layer in-kernel bias (no bias tensor at all) —
+                    # opt-in; recomputation per layer usually loses to the
+                    # one-pass builder below
+                    import math as _math
 
-                sc = 1.0 / _math.sqrt(bb_cfg.head_dim)
-                enc = params["backbone"]["encoder"]
-                bias_c = FusedBiasContext(
-                    position_ids=pos_c.astype(jnp.int32),
-                    cx=bbox_c[:, :, 0].astype(jnp.int32),
-                    cy=bbox_c[:, :, 3].astype(jnp.int32),
-                    mask=mask_c.astype(jnp.int32),
-                    t1=enc["rel_pos_bias"].astype(jnp.float32) * sc,
-                    tx=enc["rel_pos_x_bias"].astype(jnp.float32) * sc,
-                    ty=enc["rel_pos_y_bias"].astype(jnp.float32) * sc,
-                )
+                    sc = 1.0 / _math.sqrt(bb_cfg.head_dim)
+                    enc = params["backbone"]["encoder"]
+                    bias_c = FusedBiasContext(
+                        position_ids=pos_c.astype(jnp.int32),
+                        cx=bbox_c[:, :, 0].astype(jnp.int32),
+                        cy=bbox_c[:, :, 3].astype(jnp.int32),
+                        mask=mask_c.astype(jnp.int32),
+                        t1=enc["rel_pos_bias"].astype(jnp.float32) * sc,
+                        tx=enc["rel_pos_x_bias"].astype(jnp.float32) * sc,
+                        ty=enc["rel_pos_y_bias"].astype(jnp.float32) * sc,
+                    )
+                else:
+                    # build the stage bias ONCE with the pallas builder,
+                    # then the standard flash kernel reads it per layer
+                    bias_c = kernel_attention_bias(
+                        params["backbone"], bb_cfg, pos_c, bbox_c, mask_c,
+                        dtype=hidden_c.dtype,
+                    )
             else:
                 bias_c = make_attention_bias(
                     params["backbone"], bb_cfg, pos_c, bbox_c, mask_c,

@@ -590,6 +590,38 @@ def use_fused_bias_attention(default: bool = False) -> bool:
     return default and use_flash_attention()
 
 
+def kernel_attention_bias(
+    p: Params,
+    cfg: LayoutLMv3Config,
+    position_ids: jax.Array,
+    bbox: jax.Array,
+    attention_mask: jax.Array,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """(B, H, P, P) bias built by the Pallas one-hot-matmul kernel
+    (ops/fused_bias_attention.materialize_bias) — replaces the XLA
+    gather+transpose+pad chain on TPU; numerically the same lookups,
+    emitted at the flash kernel's padded width (P = ceil(S/128)*128)."""
+    from multi_modal_early_exit_tpu.ops.fused_bias_attention import (
+        materialize_bias,
+    )
+
+    enc = p["encoder"]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    return materialize_bias(
+        position_ids.astype(jnp.int32),
+        bbox[:, :, 0].astype(jnp.int32),
+        bbox[:, :, 3].astype(jnp.int32),
+        attention_mask.astype(jnp.int32),
+        enc["rel_pos_bias"].astype(jnp.float32) * scale,
+        enc["rel_pos_x_bias"].astype(jnp.float32) * scale,
+        enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
+        rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+        rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+        out_dtype=dtype,
+    )
+
+
 def make_attention_bias(
     p: Params,
     cfg: LayoutLMv3Config,
@@ -764,15 +796,26 @@ def backbone_apply(
             (deterministic or cfg.attention_probs_dropout_prob == 0.0)
             and use_flash_attention()
         )
-        bias_pad_to = None
-        if flash_eligible and combined.shape[1] % DEFAULT_BLOCK_Q:
-            bias_pad_to = (
-                -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
+        if (
+            flash_eligible
+            and cfg.has_relative_attention_bias
+            and cfg.has_spatial_attention_bias
+        ):
+            # pallas bias builder: one pass, flash layout, pad included
+            attn_bias = kernel_attention_bias(
+                params, cfg, final_position_ids, final_bbox, full_mask,
+                dtype=combined.dtype,
             )
-        attn_bias = make_attention_bias(
-            params, cfg, final_position_ids, final_bbox, full_mask,
-            dtype=combined.dtype, pad_to=bias_pad_to,
-        )
+        else:
+            bias_pad_to = None
+            if flash_eligible and combined.shape[1] % DEFAULT_BLOCK_Q:
+                bias_pad_to = (
+                    -(-combined.shape[1] // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
+                )
+            attn_bias = make_attention_bias(
+                params, cfg, final_position_ids, final_bbox, full_mask,
+                dtype=combined.dtype, pad_to=bias_pad_to,
+            )
 
     final, cls_per_layer, hidden_per_layer = encoder_apply(
         params["encoder"], cfg, combined, attn_bias,

@@ -238,3 +238,107 @@ def fused_bias_attention(
         ),
     )(pos, cxp, cyp, maskp, t1, tx, ty, qp, kp, vp)
     return out[:, :, :s, :]
+
+
+def _bias_tile_kernel(
+    pos_ref, cx_ref, cy_ref, mask_ref,      # (1, 1, S) int32 blocks
+    t1_ref, tx_ref, ty_ref,                 # (bins, H) f32 (pre-scaled)
+    o_ref,                                  # (1, H, bq, S) bias out
+    *, block_q: int, block_k: int,
+    rel_bins: int, max_rel: int, rel2d_bins: int, max_rel2d: int,
+):
+    j = pl.program_id(1)
+    s = pos_ref.shape[2]
+    rows = pl.ds(j * block_q, block_q)
+    pos_r = pos_ref[0, 0, rows]
+    cx_r = cx_ref[0, 0, rows]
+    cy_r = cy_ref[0, 0, rows]
+    n_cb = s // block_k
+
+    def col_body(cb, _):
+        cols = pl.ds(cb * block_k, block_k)
+        pos_c = pos_ref[0, 0, cols]
+        cx_c = cx_ref[0, 0, cols]
+        cy_c = cy_ref[0, 0, cols]
+        mask_c = mask_ref[0, 0, cols]
+        b1 = _bucket(pos_c[None, :] - pos_r[:, None], rel_bins, max_rel)
+        bx = _bucket(cx_c[None, :] - cx_r[:, None], rel2d_bins, max_rel2d)
+        by = _bucket(cy_c[None, :] - cy_r[:, None], rel2d_bins, max_rel2d)
+        bias = (
+            _lookup(b1, t1_ref[:])
+            + _lookup(bx, tx_ref[:])
+            + _lookup(by, ty_ref[:])
+        )  # (H, bq, bk) f32
+        bias = bias + jnp.where(mask_c == 0, NEG_INF, 0.0)[None, None, :]
+        o_ref[0, :, :, cols] = bias.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_cb, col_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "rel_bins", "max_rel",
+                              "rel2d_bins", "max_rel2d", "out_dtype")
+)
+def materialize_bias(
+    position_ids: jax.Array,   # (B, S) int32
+    cx: jax.Array,
+    cy: jax.Array,
+    attention_mask: jax.Array,
+    t1: jax.Array,             # (rel_bins, H) f32, scale pre-folded
+    tx: jax.Array,
+    ty: jax.Array,
+    block_q: int = 128,
+    block_k: int = 128,
+    rel_bins: int = 32,
+    max_rel: int = 128,
+    rel2d_bins: int = 64,
+    max_rel2d: int = 256,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Build the (B, H, P, P) additive bias with the one-hot-matmul pallas
+    kernel — a drop-in replacement for the XLA gather+transpose(+pad) chain
+    in make_attention_bias, emitted directly in the flash kernel's layout
+    and padded width (P = ceil(S / block) * block, -inf pad columns)."""
+    b, s = position_ids.shape
+    h = t1.shape[1]
+    s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
+    pos = _pad_axis(position_ids.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cxp = _pad_axis(cx.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cyp = _pad_axis(cy.astype(jnp.int32), 1, s_pad)[:, None, :]
+    maskp = _pad_axis(attention_mask.astype(jnp.int32), 1, s_pad)[:, None, :]
+
+    kernel = functools.partial(
+        _bias_tile_kernel, block_q=block_q, block_k=block_k,
+        rel_bins=rel_bins, max_rel=max_rel,
+        rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
+    )
+    vec_spec = pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = lambda bins: pl.BlockSpec(  # noqa: E731
+        (bins, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, s_pad), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b, s_pad // block_q),
+            in_specs=[
+                vec_spec, vec_spec, vec_spec, vec_spec,
+                table_spec(rel_bins), table_spec(rel2d_bins),
+                table_spec(rel2d_bins),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, block_q, s_pad), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s_pad * s_pad * (rel_bins + 2 * rel2d_bins) * h,
+            bytes_accessed=b * h * s_pad * s_pad * 2,
+            transcendentals=3 * b * s_pad * s_pad,
+        ),
+    )(pos, cxp, cyp, maskp, t1, tx, ty)

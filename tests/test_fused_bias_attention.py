@@ -111,3 +111,59 @@ def test_model_level_fused_bias_path(monkeypatch):
         np.asarray(fused.policy_logits()), np.asarray(plain.policy_logits()),
         atol=2e-2, rtol=1e-2,  # bf16 bias quantization inside the kernel
     )
+
+
+def test_materialize_bias_matches_xla_chain():
+    """The pallas bias builder must equal make_attention_bias(pad_to=P)
+    (bf16 tolerance; -inf pad columns)."""
+    from multi_modal_early_exit_tpu.ops.fused_bias_attention import (
+        materialize_bias,
+    )
+
+    cfg = LayoutLMv3Config.tiny()
+    rng = np.random.default_rng(4)
+    b, s, h = 2, 20, 4
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    x0 = rng.integers(0, 900, (b, s, 1))
+    y0 = rng.integers(0, 900, (b, s, 1))
+    bbox = jnp.asarray(np.concatenate([x0, y0, x0 + 40, y0 + 25], -1),
+                       jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    mask = mask.at[0, -4:].set(0)
+    t1 = jnp.asarray(rng.standard_normal((cfg.rel_pos_bins, h)), jnp.float32)
+    tx = jnp.asarray(rng.standard_normal((cfg.rel_2d_pos_bins, h)),
+                     jnp.float32)
+    ty = jnp.asarray(rng.standard_normal((cfg.rel_2d_pos_bins, h)),
+                     jnp.float32)
+
+    params = {"encoder": {"rel_pos_bias": t1, "rel_pos_x_bias": tx,
+                          "rel_pos_y_bias": ty}}
+    want = np.asarray(
+        M.make_attention_bias(
+            params, cfg.replace(num_labels=4), pos, bbox, mask,
+            dtype=jnp.bfloat16, pad_to=128,
+        ),
+        np.float32,
+    )
+    scale = 1.0 / math.sqrt(cfg.replace(num_labels=4).head_dim)
+    got = np.asarray(
+        materialize_bias(
+            pos, bbox[:, :, 0], bbox[:, :, 3], mask,
+            t1 * scale, tx * scale, ty * scale,
+            rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+            rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+        ),
+        np.float32,
+    )
+    assert got.shape == want.shape == (b, h, 128, 128)
+    # unmasked block matches to bf16 precision (mask sentinels differ:
+    # kernel uses -1e30, XLA chain uses finfo.min — both kill softmax)
+    np.testing.assert_allclose(got[1, :, :s, :s], want[1, :, :s, :s],
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(
+        got[0, :, :s, : s - 4], want[0, :, :s, : s - 4],
+        atol=5e-3, rtol=1e-2,
+    )
+    # pad columns and masked keys are large-negative in both
+    assert (got[:, :, :s, s:] < -1e29).all()
+    assert (got[0, :, :s, s - 4:s] < -1e29).all()
