@@ -60,7 +60,8 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "cascade")
     # measured sweet spots on v5e: cascade peaks at batch 64, harvest at 32
-    batch = int(os.environ.get("BENCH_BATCH", 64 if mode == "cascade" else 32))
+    default_batch = {"cascade": 64, "harvest": 32, "train": 16}.get(mode, 32)
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     seq = 512
     rng = np.random.default_rng(0)
     bb = cfg.backbone
@@ -85,6 +86,65 @@ def main() -> None:
     # forwards *inside one jit* via lax.scan and fetches a single scalar:
     # one dispatch round-trip, negligible transfer, full on-chip execution.
     K = int(os.environ.get("BENCH_K", 16))
+
+    if mode == "train":
+        # training-step throughput: the reference's hot loop
+        # (EE/models/EE_modules.py:344-377). bf16 compute, remat over the
+        # encoder scan, one_stage_subgraphs_weighted strategy.
+        import dataclasses as _dc
+
+        from multi_modal_early_exit_tpu.training.trainer import (
+            EETrainer,
+            TrainingArguments,
+        )
+
+        remat = os.environ.get("BENCH_REMAT", "1") == "1"
+        cfg = EEModelConfig(
+            backbone=_dc.replace(
+                cfg.backbone, gradient_checkpointing=remat
+            ),
+            exit=ExitConfig(
+                exits=("text_avg", "vision_avg", 7),
+                training_strategy="one_stage_subgraphs_weighted",
+            ),
+        )
+        params32 = init_ee_params(jax.random.key(0), cfg)
+        args = TrainingArguments(
+            train_batch_size=batch, bf16=True, learning_rate=2e-5
+        )
+        trainer = EETrainer(cfg, params32, args, total_steps=1000)
+        labels = jnp.asarray(rng.integers(0, bb.num_labels, (batch,)), jnp.int32)
+        step_batch = {
+            "input_ids": input_ids[None], "bbox": bbox[None],
+            "pixel_values": jnp.asarray(
+                np.asarray(pixel_values), jnp.float32
+            )[None],
+            "attention_mask": mask[None], "labels": labels[None],
+        }
+        rng_key = jax.random.key(1)
+        trainer.train_step(step_batch, rng_key)  # compile+warm (syncs on loss)
+
+        n_steps = 20
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            _loss, _ = trainer.train_step(
+                step_batch, jax.random.fold_in(rng_key, i)
+            )
+        dt = time.perf_counter() - t0  # train_step floats the loss -> synced
+        docs_per_sec = batch * n_steps / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_docs_per_sec_per_chip",
+                    "value": round(docs_per_sec, 2),
+                    "unit": "docs/sec",
+                    "vs_baseline": round(
+                        docs_per_sec / REFERENCE_GPU_DOCS_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+        return
 
     if mode == "cascade":
         from multi_modal_early_exit_tpu.models.ee.cascade import (

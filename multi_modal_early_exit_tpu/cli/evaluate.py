@@ -126,13 +126,12 @@ def main(argv: Optional[list] = None) -> Dict:
 
     analysis = Analysis(params, model_cfg)
     if cfg.full_test:
-        run = init_wandb(config)
+        # one observability run per threshold (parity: EE/eval.py:253-255)
         results = full_test_iteration(
             logits, references, config,
             start_threshold=config["exit_threshold"], step=cfg.step,
-            analysis=analysis, log_fn=run.log,
+            analysis=analysis, run_factory=init_wandb,
         )
-        run.finish()
         return {"mode": "full_test", "n_thresholds": len(results)}
 
     logs = eval_model(logits, references, config, analysis)

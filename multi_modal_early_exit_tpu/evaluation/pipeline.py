@@ -111,6 +111,10 @@ def get_logits(
         "batch_time_avg": batch_time.avg,
         "docs_per_sec": len(references) / max(batch_time.sum, 1e-9),
     }
+    if use_cache:
+        # write-through on miss so re-running a sweep never re-harvests
+        # (parity: the reference caches inside get_logits, EE/utils.py:147-158)
+        dump_logits(logits_store, references, config, name=name, root=root)
     return logits_store, references, stats
 
 
@@ -203,10 +207,17 @@ def full_test_iteration(
     analysis: Optional[Analysis] = None,
     root: str = "results",
     log_fn: Optional[Callable[[Dict], None]] = None,
+    run_factory: Optional[Callable[[Dict], object]] = None,
 ) -> list:
     """Threshold sweep with per-threshold failure isolation
     (EE/eval.py:227-274). Results saved to
-    ``<results>/<ckpt>-<ds>/<policy>/{non-,}calibrated-metrics.json``."""
+    ``<results>/<ckpt>-<ds>/<policy>/{non-,}calibrated-metrics.json``.
+
+    ``run_factory``: called with the per-threshold config to open a fresh
+    observability run per threshold (parity: the reference starts a new
+    wandb run for each, EE/eval.py:253-255); the run is finished after the
+    threshold's metrics are logged. Takes precedence over ``log_fn``.
+    """
     thresholds = np.arange(start_threshold, 1, step)
     results = []
     for threshold in thresholds:
@@ -215,9 +226,14 @@ def full_test_iteration(
             config["epsilon"] = threshold
         else:
             config["exit_threshold"] = threshold
+        run = None
+        if run_factory is not None:
+            run = run_factory(dict(config, run_suffix=f"thr{threshold:g}"))
         try:
             logs = eval_model(logits, references, config, analysis)
-            if log_fn is not None:
+            if run is not None:
+                run.log(logs)
+            elif log_fn is not None:
                 log_fn(logs)
             results.append(logs)
         except Exception as e:  # isolate one failing threshold
@@ -225,6 +241,9 @@ def full_test_iteration(
                 f"FAILED EXPERIMENT at threshold {threshold} due to {e}",
                 type="error",
             )
+        finally:
+            if run is not None:
+                run.finish()
     out_dir = os.path.join(
         config_to_checkpoint(config, root=root), config["exit_policy"]
     )

@@ -409,16 +409,27 @@ def attention_apply(
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
 
     use_flash = (
-        (deterministic or cfg.attention_probs_dropout_prob == 0.0)
-        and attn_bias is not None
+        attn_bias is not None
         and attn_bias.shape[1] == cfg.num_attention_heads
         and use_flash_attention()
     )
     if use_flash:
         # VMEM-resident fused softmax(qk^T/sqrt(d) + bias)v — no (S,S)
-        # probability tensor in HBM (ops/flash_attention.py). The bias may
-        # be pre-padded wider than S (built once at the aligned width).
-        ctx = flash_attention(q, k, v, attn_bias)
+        # probability tensor in HBM in either direction (Pallas fwd + bwd,
+        # ops/flash_attention.py). The bias may be pre-padded wider than S
+        # (built once at the aligned width). Attention-prob dropout runs
+        # in-kernel from a position-hash mask seeded per layer.
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        seed = None
+        if rate > 0.0 and rng_attn is not None:
+            seed = jax.random.randint(
+                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        elif rate > 0.0:
+            rate = 0.0  # no rng provided: match dropout()'s no-op behavior
+        ctx = flash_attention(
+            q, k, v, attn_bias, dropout_rate=rate, dropout_seed=seed
+        )
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
@@ -788,16 +799,13 @@ def backbone_apply(
         )
     else:
         # pre-pad the bias only when the flash kernel will actually consume
-        # it (same eligibility as attention_apply) — the training path with
-        # attention dropout uses the XLA composition at the true length,
-        # and padding there would drag a padded (B,H,P,P) tensor through
-        # the whole backward pass
-        flash_eligible = (
-            (deterministic or cfg.attention_probs_dropout_prob == 0.0)
-            and use_flash_attention()
-        )
+        # it (same eligibility as attention_apply)
+        flash_eligible = use_flash_attention()
         if (
             flash_eligible
+            # the pallas builder's one-hot lookups run in bf16; route only
+            # bf16 models through it so f32 stays bit-exact vs the reference
+            and combined.dtype == jnp.bfloat16
             and cfg.has_relative_attention_bias
             and cfg.has_spatial_attention_bias
         ):

@@ -54,7 +54,12 @@ def _backbone_config(
 
 
 def _maybe_load_pretrained(bb: LayoutLMv3Config, weights: str) -> Optional[Params]:
-    """Convert a locally-cached torch checkpoint; None when unavailable."""
+    """Convert a locally-cached torch checkpoint; None when unavailable.
+
+    Distinguishes "checkpoint not cached" (expected in zero-egress
+    environments: silent random-init fallback, as the trainer will warn) from
+    "conversion failed" (a real bug: loudly logged so it cannot degrade to
+    random weights unnoticed)."""
     try:
         import torch  # noqa: F401
         from transformers import LayoutLMv3Model
@@ -62,10 +67,29 @@ def _maybe_load_pretrained(bb: LayoutLMv3Config, weights: str) -> Optional[Param
         from multi_modal_early_exit_tpu.models.layoutlmv3.convert import (
             convert_torch_state_dict,
         )
-
-        hf = LayoutLMv3Model.from_pretrained(weights, local_files_only=True)
-        return convert_torch_state_dict(hf.state_dict(), bb, prefix="")
     except Exception:
+        return None  # torch/transformers absent: hermetic random init
+    try:
+        hf = LayoutLMv3Model.from_pretrained(weights, local_files_only=True)
+    except Exception:
+        from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+        logger_message(
+            f"pretrained weights '{weights}' not in the local cache; "
+            "using random initialization",
+            type="warning",
+        )
+        return None
+    try:
+        return convert_torch_state_dict(hf.state_dict(), bb, prefix="")
+    except Exception as e:
+        from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+        logger_message(
+            f"FAILED converting pretrained weights '{weights}' ({e!r}); "
+            "falling back to random initialization — fix the converter!",
+            type="error",
+        )
         return None
 
 

@@ -1,4 +1,4 @@
-"""Pallas TPU fused attention with additive bias.
+"""Pallas TPU fused attention with additive bias — forward AND backward.
 
 The LayoutLMv3 attention pattern is ``softmax((q/sqrt(d)) k^T + bias) v``
 with a per-head additive bias (relative 1D + 2D position + padding mask,
@@ -6,12 +6,31 @@ computed once per forward — modeling.make_attention_bias). XLA materializes
 the (B, H, S, S) score and probability tensors in HBM every layer; at the
 reference budget (S=709, H=12) that is ~48 MB of HBM traffic per sample per
 layer. This kernel keeps scores/probabilities entirely in VMEM: per
-(batch*head, q-block) grid cell it reads a q tile, the full K/V (S*D bf16 is
-~100 KB — comfortably VMEM-resident), and the bias tile, computes the
-softmax in fp32 on-chip, and writes only the (Bq, D) output.
+(batch, head, q-block) grid cell it reads a q tile, the full K/V (S*D bf16
+is ~100 KB — comfortably VMEM-resident), and the bias tile, computes the
+softmax in fp32 on-chip, and writes only the (Bq, D) output plus a (Bq,)
+logsumexp row statistic.
 
-Used for the deterministic (inference) path; training falls back to the XLA
-composition (attention-dropout needs the probability tensor anyway).
+The backward is two Pallas kernels (standard flash recompute scheme — no
+(B,H,S,S) probability tensor ever touches HBM; the only S×S HBM tensors in
+the whole fwd+bwd are the bias read and the dbias write, which the model
+genuinely needs because the relative-position bucket tables are trained —
+reference training hot loop: EE/models/EE_modules.py:344-377):
+
+- dq/dbias kernel, grid (B, H, S/block_q): recomputes the probability tile
+  from the saved logsumexp, forms dS on-chip, emits dq and the dS tile
+  (which IS dbias).
+- dk/dv kernel, grid (B, H, S/block_k): same recompute over column tiles,
+  emits dk and dv.
+
+Attention-probability dropout (the reference trains with
+attention_probs_dropout_prob > 0) runs *inside* the kernel using a
+counter-based position hash (`dropout_uniform`): mask(b,h,i,j) is a pure
+function of (seed, b, h, i, j), so the forward and both backward kernels
+regenerate bit-identical masks with zero HBM traffic and no dependence on
+kernel tiling. (The stateful pltpu PRNG is deliberately not used: its
+stream order would couple the mask to the grid schedule, and it is a no-op
+under the CPU interpreter that the test suite runs on.)
 """
 
 from __future__ import annotations
@@ -21,15 +40,73 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+# ---------------------------------------------------------------------------
+# position-hash dropout (shared between kernels and the jnp reference)
+# ---------------------------------------------------------------------------
+
+def _lowbias32(x: jax.Array) -> jax.Array:
+    """Well-mixed 32-bit integer hash (lowbias32, public domain constants)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def dropout_uniform(
+    seed: jax.Array, bh: jax.Array, rows: jax.Array, cols: jax.Array
+) -> jax.Array:
+    """Uniform [0,1) as a pure function of (seed, batch*heads index, i, j).
+
+    Counter-based (no stream state): any kernel tiling regenerates the same
+    value for the same logical position. 24 mantissa-exact bits.
+    """
+    state = _lowbias32(seed.astype(jnp.uint32) ^ (bh.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)))
+    bits = _lowbias32(
+        state
+        + rows.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + cols.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+    )
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32
+    top24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _dropout_scale_tile(
+    seed, bh, row0, col0, shape, rate: float
+) -> jax.Array:
+    """(shape) tile of mask/keep_prob values for positions starting at
+    (row0, col0): 0 where dropped, 1/keep where kept."""
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    u = dropout_uniform(seed, bh, rows, cols)
+    keep = 1.0 - rate
+    return jnp.where(u < keep, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    *, scale: float, rate: float, block_q: int,
+):
     # q (1, 1, Bq, D), k/v (1, 1, S, D), bias (1, 1, Bq, S) -> o (1, 1, Bq, D)
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    q_blk = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
@@ -40,9 +117,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    p = p / denom
+    if rate > 0.0:
+        bh = b_idx * pl.num_programs(1) + h_idx
+        p = p * _dropout_scale_tile(
+            seed_ref[0], bh, q_blk * block_q, 0, p.shape, rate
+        )
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(denom)  # (Bq, 1)
 
 
 def _pad_to(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
@@ -54,28 +137,12 @@ def _pad_to(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_attention(
-    q: jax.Array,  # (B, H, S, D)
-    k: jax.Array,
-    v: jax.Array,
-    bias: jax.Array,  # (B, H, S, S) additive (incl. padding mask)
-    block_q: int = DEFAULT_BLOCK_Q,
-) -> jax.Array:
-    """Fused attention; returns (B, H, S, D) in q's dtype.
-
-    Sequence length is padded to a multiple of ``block_q`` internally; the
-    bias pad is NEG_INF on key columns so padded keys receive zero weight.
-
-    Differentiable: the backward pass recomputes attention with the XLA
-    composition (``reference_attention``) and differentiates that — the
-    forward stays a Pallas kernel, gradients are exact (same math).
-    """
-    return _flash_attention_fwd_impl(q, k, v, bias, block_q)
-
-
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _flash_attention_fwd_impl(q, k, v, bias, block_q: int = DEFAULT_BLOCK_Q):
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "rate", "with_lse")
+)
+def _flash_attention_fwd_impl(
+    q, k, v, bias, seed, block_q: int, rate: float, with_lse: bool = False
+):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     s_pad = -(-s // block_q) * block_q
@@ -89,12 +156,19 @@ def _flash_attention_fwd_impl(q, k, v, bias, block_q: int = DEFAULT_BLOCK_Q):
     bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
 
     grid = (b, h, s_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _attn_fwd_kernel, scale=scale, rate=rate, block_q=block_q
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            # (B, H, S, 1): trailing singleton keeps the block TPU-legal
+            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+        ],
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
                 pl.BlockSpec((1, 1, block_q, d),
                              lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM),
@@ -108,9 +182,14 @@ def _flash_attention_fwd_impl(q, k, v, bias, block_q: int = DEFAULT_BLOCK_Q):
                              lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda i, hh, j: (i, hh, j, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda i, hh, j: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda i, hh, j: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_pad * s_pad * d,
@@ -120,30 +199,277 @@ def _flash_attention_fwd_impl(q, k, v, bias, block_q: int = DEFAULT_BLOCK_Q):
             ),
             transcendentals=b * h * s_pad * s_pad,
         ),
-    )(qp, kp, vp, bp)
+    )(seed, qp, kp, vp, bp)
+    if with_lse:
+        return out[:, :, :s, :], lse
     return out[:, :, :s, :]
 
 
-def _flash_attention_vjp_fwd(q, k, v, bias, block_q):
-    return _flash_attention_fwd_impl(q, k, v, bias, block_q), (q, k, v, bias)
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _attn_bwd_dq_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dbias_ref, *, scale: float, rate: float, block_q: int,
+):
+    """Per (b, h, q-block): dq tile + dbias (= dS) tile."""
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    q_blk = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]    # (Bq, 1)
+    delta = delta_ref[0, 0]  # (Bq, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse)  # (Bq, S) normalized probs (pre-dropout)
+    # dL/dp = (mask/keep) * (do . v^T); delta = rowsum(do*o) equals
+    # sum_j p_j dL/dp_j for both the dropout and no-dropout cases.
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bq, S)
+    if rate > 0.0:
+        bh = b_idx * pl.num_programs(1) + h_idx
+        dp = dp * _dropout_scale_tile(
+            seed_ref[0], bh, q_blk * block_q, 0, dp.shape, rate
+        )
+    ds = p * (dp - delta)  # (Bq, S) — this IS dbias for the tile
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
 
 
-def _flash_attention_vjp_bwd(block_q, residuals, g):
-    q, k, v, bias = residuals
-    s = q.shape[2]
-    bias_s = bias[:, :, :s, :s] if bias.shape[-1] != s else bias
-    _, vjp = jax.vjp(reference_attention, q, k, v, bias_s)
-    dq, dk, dv, dbias_s = vjp(g)
-    if bias.shape[-1] != s:
-        widths = [(0, 0), (0, 0),
-                  (0, bias.shape[2] - s), (0, bias.shape[3] - s)]
-        dbias = jnp.pad(dbias_s, widths)
+def _attn_bwd_dkv_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, *, scale: float, rate: float, block_k: int,
+):
+    """Per (b, h, k-block): dk tile + dv tile (recompute over column tiles)."""
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    k_blk = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale   # (S, D)
+    k = k_ref[0, 0].astype(jnp.float32)           # (Bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)           # (Bk, D)
+    do = do_ref[0, 0].astype(jnp.float32)         # (S, D)
+    lse = lse_ref[0, 0]                           # (S, 1)
+    delta = delta_ref[0, 0]                       # (S, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias_ref[0, 0].astype(jnp.float32)        # (S, Bk)
+    p = jnp.exp(s - lse)
+    if rate > 0.0:
+        bh = b_idx * pl.num_programs(1) + h_idx
+        c = _dropout_scale_tile(
+            seed_ref[0], bh, 0, k_blk * block_k, p.shape, rate
+        )
+        p_dropped = p * c
     else:
-        dbias = dbias_s
+        c = None
+        p_dropped = p
+    # dv_j = sum_i (p*c)_ij do_i  -> contract over rows
+    dv = jax.lax.dot_general(
+        p_dropped, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bk, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, Bk)
+    if c is not None:
+        dp = dp * c
+    ds = p * (dp - delta)  # (S, Bk)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bk, D)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "rate")
+)
+def _flash_attention_bwd_impl(
+    q, k, v, bias, seed, o, lse, g, block_q: int, rate: float
+):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    block_k = block_q  # one tile size for both grids
+    s_pad = -(-s // block_q) * block_q
+
+    qp = _pad_to(q, 2, s_pad)
+    kp = _pad_to(k, 2, s_pad)
+    vp = _pad_to(v, 2, s_pad)
+    bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
+    gp = _pad_to(g, 2, s_pad)
+    op = _pad_to(o, 2, s_pad)
+    # pad lse with +BIG so p = exp(s - lse) underflows to 0 for rows the
+    # forward never saw (their do rows are 0 anyway)
+    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)  # (B, H, S_pad, 1)
+    # delta_i = rowsum(do_i * o_i) = sum_j p~_ij dL/dp_ij (cheap, in XLA)
+    delta = jnp.sum(
+        gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B, H, S_pad, 1)
+
+    row_spec = pl.BlockSpec((1, 1, block_q, d), lambda i, hh, j: (i, hh, j, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, 1, s_pad, d), lambda i, hh, j: (i, hh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_row_spec = pl.BlockSpec((1, 1, block_q, 1),
+                                lambda i, hh, j: (i, hh, j, 0),
+                                memory_space=pltpu.VMEM)
+    vec_full_spec = pl.BlockSpec((1, 1, s_pad, 1),
+                                 lambda i, hh, j: (i, hh, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    grid_q = (b, h, s_pad // block_q)
+    dq, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_dq_kernel, scale=scale, rate=rate, block_q=block_q
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, s_pad), bias.dtype),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=grid_q,
+            in_specs=[
+                seed_spec,
+                row_spec,   # q tile
+                full_spec,  # k
+                full_spec,  # v
+                pl.BlockSpec((1, 1, block_q, s_pad),
+                             lambda i, hh, j: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),  # bias tile
+                row_spec,   # do tile
+                vec_row_spec,  # lse tile
+                vec_row_spec,  # delta tile
+            ],
+            out_specs=[
+                row_spec,  # dq
+                pl.BlockSpec((1, 1, block_q, s_pad),
+                             lambda i, hh, j: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),  # dbias
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * s_pad * s_pad * d,
+            bytes_accessed=(
+                4 * b * h * s_pad * d * qp.dtype.itemsize
+                + 2 * b * h * s_pad * s_pad * bp.dtype.itemsize
+            ),
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(seed, qp, kp, vp, bp, gp, lsep, delta)
+
+    col_spec = pl.BlockSpec((1, 1, block_k, d), lambda i, hh, j: (i, hh, j, 0),
+                            memory_space=pltpu.VMEM)
+    grid_k = (b, h, s_pad // block_k)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_dkv_kernel, scale=scale, rate=rate, block_k=block_k
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=grid_k,
+            in_specs=[
+                seed_spec,
+                full_spec,  # q
+                col_spec,   # k tile
+                col_spec,   # v tile
+                pl.BlockSpec((1, 1, s_pad, block_k),
+                             lambda i, hh, j: (i, hh, 0, j),
+                             memory_space=pltpu.VMEM),  # bias column tile
+                full_spec,  # do
+                vec_full_spec,  # lse full
+                vec_full_spec,  # delta full
+            ],
+            out_specs=[col_spec, col_spec],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * s_pad * s_pad * d,
+            bytes_accessed=(
+                4 * b * h * s_pad * d * qp.dtype.itemsize
+                + b * h * s_pad * s_pad * bp.dtype.itemsize
+            ),
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+    )(seed, qp, kp, vp, bp, gp, lsep, delta)
+
+    dq = dq[:, :, :s, :]
+    dk = dk[:, :, :s, :]
+    dv = dv[:, :, :s, :]
+    # dbias in the padded region is exactly zero (padded q rows have do=0;
+    # padded key columns have p=0) — slice back to the caller's bias shape.
+    dbias = dbias[:, :, : bias.shape[2], : bias.shape[3]]
     return dq, dk, dv, dbias
 
 
-flash_attention.defvjp(_flash_attention_vjp_fwd, _flash_attention_vjp_bwd)
+# ---------------------------------------------------------------------------
+# public custom-vjp op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_core(q, k, v, bias, seed, block_q: int, rate: float):
+    return _flash_attention_fwd_impl(q, k, v, bias, seed, block_q, rate)
+
+
+def _flash_core_fwd(q, k, v, bias, seed, block_q, rate):
+    o, lse = _flash_attention_fwd_impl(
+        q, k, v, bias, seed, block_q, rate, with_lse=True
+    )
+    return o, (q, k, v, bias, seed, o, lse)
+
+
+def _flash_core_bwd(block_q, rate, residuals, g):
+    q, k, v, bias, seed, o, lse = residuals
+    dq, dk, dv, dbias = _flash_attention_bwd_impl(
+        q, k, v, bias, seed, o, lse, g, block_q, rate
+    )
+    return dq, dk, dv, dbias, None  # seed (int) gets no cotangent
+
+
+_flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+_ZERO_SEED = np.zeros((1,), np.int32)
+
+
+def flash_attention(
+    q: jax.Array,  # (B, H, S, D)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,  # (B, H, S', S') additive, S' >= S (incl. padding mask)
+    block_q: int = DEFAULT_BLOCK_Q,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | None = None,  # (1,) int32
+) -> jax.Array:
+    """Fused attention; returns (B, H, S, D) in q's dtype.
+
+    Sequence length is padded to a multiple of ``block_q`` internally; the
+    bias pad is NEG_INF on key columns so padded keys receive zero weight.
+    ``bias`` may already be pre-padded wider than S (model-level pre-pad).
+
+    Differentiable with a Pallas backward (flash recompute — no (S,S)
+    probability tensor in HBM in either direction). With
+    ``dropout_rate > 0`` attention-probability dropout runs in-kernel from
+    the position-hash mask seeded by ``dropout_seed``; gradients see the
+    identical mask.
+    """
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
+    seed = _ZERO_SEED if dropout_seed is None else dropout_seed
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _flash_attention_core(
+        q, k, v, bias, seed, block_q, float(dropout_rate)
+    )
 
 
 def reference_attention(q, k, v, bias) -> jax.Array:
@@ -157,6 +483,27 @@ def reference_attention(q, k, v, bias) -> jax.Array:
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def reference_attention_hash_dropout(q, k, v, bias, seed, rate) -> jax.Array:
+    """jnp reference including the position-hash dropout mask — the oracle
+    the kernel's dropout path is tested against."""
+    b, h, s, d = q.shape
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)[:, :, :s, :s]
+    p = jax.nn.softmax(scores, axis=-1)
+    bh = (jnp.arange(b)[:, None] * h + jnp.arange(h)[None, :])[:, :, None, None]
+    rows = jnp.arange(s)[None, None, :, None]
+    cols = jnp.arange(s)[None, None, None, :]
+    u = dropout_uniform(jnp.asarray(seed).reshape(()), bh, rows, cols)
+    keep = 1.0 - rate
+    p = p * jnp.where(u < keep, 1.0 / keep, 0.0)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
 
 
 def use_flash_attention() -> bool:

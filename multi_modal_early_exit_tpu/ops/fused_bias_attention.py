@@ -276,10 +276,6 @@ def _bias_tile_kernel(
     jax.lax.fori_loop(0, n_cb, col_body, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "rel_bins", "max_rel",
-                              "rel2d_bins", "max_rel2d", "out_dtype")
-)
 def materialize_bias(
     position_ids: jax.Array,   # (B, S) int32
     cx: jax.Array,
@@ -299,7 +295,25 @@ def materialize_bias(
     """Build the (B, H, P, P) additive bias with the one-hot-matmul pallas
     kernel — a drop-in replacement for the XLA gather+transpose(+pad) chain
     in make_attention_bias, emitted directly in the flash kernel's layout
-    and padded width (P = ceil(S / block) * block, -inf pad columns)."""
+    and padded width (P = ceil(S / block) * block, -inf pad columns).
+
+    Differentiable wrt the three tables (custom VJP: segment-sum of the
+    bias cotangent into the buckets) so the training path can use it too."""
+    return _materialize_bias_vjp(
+        position_ids, cx, cy, attention_mask, t1, tx, ty,
+        block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d,
+        jnp.dtype(out_dtype),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "rel_bins", "max_rel",
+                              "rel2d_bins", "max_rel2d", "out_dtype")
+)
+def _materialize_bias_impl(
+    position_ids, cx, cy, attention_mask, t1, tx, ty,
+    block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d, out_dtype,
+):
     b, s = position_ids.shape
     h = t1.shape[1]
     s_pad = -(-s // max(block_q, block_k)) * max(block_q, block_k)
@@ -342,3 +356,60 @@ def materialize_bias(
             transcendentals=3 * b * s_pad * s_pad,
         ),
     )(pos, cxp, cyp, maskp, t1, tx, ty)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _materialize_bias_vjp(
+    position_ids, cx, cy, attention_mask, t1, tx, ty,
+    block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d, out_dtype,
+):
+    return _materialize_bias_impl(
+        position_ids, cx, cy, attention_mask, t1, tx, ty,
+        block_q=block_q, block_k=block_k, rel_bins=rel_bins, max_rel=max_rel,
+        rel2d_bins=rel2d_bins, max_rel2d=max_rel2d, out_dtype=out_dtype,
+    )
+
+
+def _materialize_bias_fwd(
+    position_ids, cx, cy, attention_mask, t1, tx, ty,
+    block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d, out_dtype,
+):
+    out = _materialize_bias_impl(
+        position_ids, cx, cy, attention_mask, t1, tx, ty,
+        block_q=block_q, block_k=block_k, rel_bins=rel_bins, max_rel=max_rel,
+        rel2d_bins=rel2d_bins, max_rel2d=max_rel2d, out_dtype=out_dtype,
+    )
+    return out, (position_ids, cx, cy)
+
+
+def _materialize_bias_bwd(
+    block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d, out_dtype,
+    residuals, g,
+):
+    """dtable[r, h] = sum of the bias cotangent over positions whose bucket
+    is r. The bias is built once per forward and shared across layers, so
+    this runs once per train step. The mask/-inf term is constant (no grad);
+    the padded region's cotangent is identically zero under the flash
+    backward, and is sliced off here regardless."""
+    position_ids, cx, cy = residuals
+    b, s = position_ids.shape
+    h = g.shape[1]
+    gt = (
+        g[:, :, :s, :s].astype(jnp.float32)
+        .transpose(0, 2, 3, 1)
+        .reshape(-1, h)
+    )  # (B*S*S, H)
+
+    def table_grad(vec, bins, max_d):
+        rel = vec[:, None, :].astype(jnp.int32) - vec[:, :, None].astype(jnp.int32)
+        buckets = _bucket(rel, bins, max_d).reshape(-1)
+        return jax.ops.segment_sum(gt, buckets, num_segments=bins)
+
+    # tables are always fed as f32 (scale pre-folded by the callers)
+    dt1 = table_grad(position_ids, rel_bins, max_rel)
+    dtx = table_grad(cx, rel2d_bins, max_rel2d)
+    dty = table_grad(cy, rel2d_bins, max_rel2d)
+    return (None, None, None, None, dt1, dtx, dty)
+
+
+_materialize_bias_vjp.defvjp(_materialize_bias_fwd, _materialize_bias_bwd)

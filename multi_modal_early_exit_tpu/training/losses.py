@@ -167,16 +167,21 @@ def ee_loss_fn(
     from multi_modal_early_exit_tpu.models.ee.model import ee_forward
 
     fwd_params = params
+    pixel_values = batch["pixel_values"]
     if compute_dtype is not None:
         fwd_params = jax.tree.map(
             lambda x: x.astype(compute_dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
             params,
         )
+        # float inputs must follow, or jnp promotion silently upcasts the
+        # whole forward back to f32 (f32 pixels @ bf16 patch kernel -> f32
+        # visual embeddings -> f32 concat -> f32 encoder + f32 bias)
+        pixel_values = pixel_values.astype(compute_dtype)
 
     outputs = ee_forward(
         fwd_params, cfg,
-        batch["input_ids"], batch["bbox"], batch["pixel_values"],
+        batch["input_ids"], batch["bbox"], pixel_values,
         batch.get("attention_mask"),
         deterministic=deterministic, rng=rng,
     )

@@ -191,8 +191,6 @@ class EETrainer:
         strategy = cfg.exit.training_strategy
         weights = None
         if strategy.is_weighted:
-            counts = subgraph_param_counts({"backbone": params["backbone"], **params}, cfg) \
-                if "backbone" in params else None
             counts = subgraph_param_counts(params, cfg)
             weights = exit_loss_weights(counts)
         self.exit_weights = weights

@@ -23,6 +23,9 @@ def nameit(config: Dict[str, Any]) -> str:
         name = f"{name}-{ckpt}"
     if config.get("calibrate"):
         name += "-calibrated"
+    if config.get("run_suffix"):
+        # per-threshold sweep runs (reference: EE/eval.py:253-255)
+        name += f"-{config['run_suffix']}"
     return name
 
 

@@ -1,4 +1,5 @@
-"""Pallas fused attention vs the jnp reference (interpret mode on CPU)."""
+"""Pallas fused attention (fwd + bwd kernels) vs the jnp reference
+(interpret mode on CPU)."""
 
 import numpy as np
 import pytest
@@ -18,15 +19,19 @@ def interpret_mode(monkeypatch):
         yield
 
 
-@pytest.mark.parametrize("s", [16, 100])
-def test_flash_matches_reference(s):
-    rng = np.random.default_rng(0)
-    b, h, d = 2, 3, 8
+def _rand_qkvb(rng, b, h, s, d, bias_s=None):
+    bias_s = bias_s or s
     q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, bias_s, bias_s)), jnp.float32)
+    return q, k, v, bias
 
+
+@pytest.mark.parametrize("s", [16, 100])
+def test_flash_matches_reference(s):
+    rng = np.random.default_rng(0)
+    q, k, v, bias = _rand_qkvb(rng, 2, 3, s, 8)
     want = np.asarray(fa.reference_attention(q, k, v, bias))
     got = np.asarray(fa.flash_attention(q, k, v, bias, block_q=16))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
@@ -37,9 +42,7 @@ def test_flash_respects_padding_mask():
     sequence is padded up to the block size internally."""
     rng = np.random.default_rng(1)
     b, h, s, d = 1, 2, 10, 8
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    q, k, v, _ = _rand_qkvb(rng, b, h, s, d)
     bias = jnp.zeros((b, h, s, s))
     # mask out the last 3 keys
     bias = bias.at[..., 7:].set(jnp.finfo(jnp.float32).min)
@@ -59,10 +62,7 @@ def test_flash_accepts_prepadded_bias():
     the same result as an S-width bias."""
     rng = np.random.default_rng(2)
     b, h, s, d, blk = 1, 2, 11, 8, 16
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
     # pre-padded: valid SxS block, -inf on extra key columns
     pre = jnp.full((b, h, blk, blk), -1e30)
     pre = pre.at[:, :, :s, :s].set(bias)
@@ -72,23 +72,168 @@ def test_flash_accepts_prepadded_bias():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
-def test_flash_gradients_match_reference():
-    """custom_vjp: grads through the flash kernel equal XLA-composition grads."""
+@pytest.mark.parametrize("s", [16, 27])
+def test_flash_gradients_match_reference(s):
+    """Pallas backward kernels: grads equal XLA-composition grads, including
+    for ragged lengths (padding) and non-trivial upstream cotangents."""
     rng = np.random.default_rng(3)
-    b, h, s, d = 1, 2, 12, 8
-    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    b, h, d = 2, 2, 8
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
+    gw = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
 
     def loss_flash(q, k, v, bias):
-        return fa.flash_attention(q, k, v, bias, 16).sum()
+        return (fa.flash_attention(q, k, v, bias, 16) * gw).sum()
 
     def loss_ref(q, k, v, bias):
-        return fa.reference_attention(q, k, v, bias).sum()
+        return (fa.reference_attention(q, k, v, bias) * gw).sum()
 
     g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=2e-5, rtol=1e-4)
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_flash_gradients_with_prepadded_bias():
+    """dbias must come back at the caller's (pre-padded) bias shape, zero in
+    the padded region, and match the XLA grads on the valid block."""
+    rng = np.random.default_rng(4)
+    b, h, s, d, blk = 1, 2, 11, 8, 16
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
+    pre = jnp.full((b, h, blk, blk), -1e30)
+    pre = pre.at[:, :, :s, :s].set(bias)
+
+    g_pre = jax.grad(
+        lambda q, k, v, bb: fa.flash_attention(q, k, v, bb, blk).sum(),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, pre)
+    g_ref = jax.grad(
+        lambda q, k, v, bb: fa.reference_attention(q, k, v, bb).sum(),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    assert g_pre[3].shape == pre.shape
+    np.testing.assert_allclose(
+        np.asarray(g_pre[3][:, :, :s, :s]), np.asarray(g_ref[3]),
+        atol=3e-5, rtol=1e-4,
+    )
+    assert np.all(np.asarray(g_pre[3][:, :, s:, :]) == 0)
+    assert np.all(np.asarray(g_pre[3][:, :, :, s:]) == 0)
+    for a, b_ in zip(g_pre[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_flash_dropout_forward_matches_hash_oracle():
+    """In-kernel dropout must reproduce the position-hash mask exactly —
+    compared against a pure-jnp oracle that applies the same hash."""
+    rng = np.random.default_rng(5)
+    b, h, s, d, rate = 2, 3, 32, 8, 0.3
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
+    seed = jnp.asarray([17], jnp.int32)
+
+    got = np.asarray(
+        fa.flash_attention(q, k, v, bias, 16, dropout_rate=rate,
+                           dropout_seed=seed)
+    )
+    want = np.asarray(
+        fa.reference_attention_hash_dropout(q, k, v, bias, 17, rate)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    # and differs from the no-dropout output (mask is non-trivial)
+    nodrop = np.asarray(fa.flash_attention(q, k, v, bias, 16))
+    assert np.abs(got - nodrop).max() > 1e-3
+
+
+def test_flash_dropout_gradients_match_hash_oracle():
+    """fwd and both bwd kernels regenerate the identical mask: grads equal
+    jax.grad of the jnp oracle using the same hash mask."""
+    rng = np.random.default_rng(6)
+    b, h, s, d, rate = 1, 2, 32, 8, 0.25
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
+    seed = jnp.asarray([99], jnp.int32)
+    gw = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    def loss_flash(q, k, v, bias):
+        return (
+            fa.flash_attention(q, k, v, bias, 16, dropout_rate=rate,
+                               dropout_seed=seed) * gw
+        ).sum()
+
+    def loss_oracle(q, k, v, bias):
+        return (
+            fa.reference_attention_hash_dropout(q, k, v, bias, 99, rate) * gw
+        ).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_dropout_uniform_statistics():
+    """Position-hash uniforms: roughly uniform, decorrelated across seeds."""
+    rows = jnp.arange(256)[:, None]
+    cols = jnp.arange(256)[None, :]
+    u1 = np.asarray(fa.dropout_uniform(jnp.int32(1), jnp.int32(0), rows, cols))
+    u2 = np.asarray(fa.dropout_uniform(jnp.int32(2), jnp.int32(0), rows, cols))
+    assert 0.49 < u1.mean() < 0.51
+    assert abs(np.corrcoef(u1.ravel(), u2.ravel())[0, 1]) < 0.01
+    # keep-fraction close to the keep prob
+    assert abs((u1 < 0.9).mean() - 0.9) < 0.01
+    assert abs((u1 < 0.5).mean() - 0.5) < 0.01
+
+
+def test_training_grads_with_flash_match_xla_path(monkeypatch):
+    """Model-level wiring: jax.grad of the EE loss with the flash kernels
+    forced on (interpret mode) equals the XLA composition path, and the
+    dropout training path stays finite."""
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.training.losses import ee_loss_fn
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(7)
+    B, S = 2, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        "bbox": jnp.asarray(
+            np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32
+        ),
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 32)), jnp.float32
+        ),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32),
+    }
+
+    def grads(deterministic):
+        (_, _), g = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+            params, cfg, batch, rng=jax.random.key(3),
+            deterministic=deterministic,
+        )
+        return g
+
+    g_xla = grads(deterministic=True)
+
+    monkeypatch.setattr(fa, "use_flash_attention", lambda: True)
+    g_flash = grads(deterministic=True)
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_f, _ = jax.tree_util.tree_flatten(g_flash)
+    for a, b in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+    # dropout path (attention_probs_dropout_prob > 0): finite grads
+    g_drop = grads(deterministic=False)
+    for leaf in jax.tree.leaves(g_drop):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -167,3 +167,53 @@ def test_materialize_bias_matches_xla_chain():
     # pad columns and masked keys are large-negative in both
     assert (got[:, :, :s, s:] < -1e29).all()
     assert (got[0, :, :s, s - 4:s] < -1e29).all()
+
+
+def test_materialize_bias_table_gradients():
+    """Custom VJP: table grads equal jax.grad through the XLA gather chain
+    (same buckets, same sums — up to the kernel's bf16 lookup rounding which
+    does not affect the cotangent routing)."""
+    from multi_modal_early_exit_tpu.models.layoutlmv3 import modeling as M2
+    from multi_modal_early_exit_tpu.ops.fused_bias_attention import (
+        materialize_bias,
+    )
+
+    cfg = LayoutLMv3Config.tiny(num_labels=4)
+    rng = np.random.default_rng(11)
+    b, s, h = 2, 20, 4
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    x0 = rng.integers(0, 900, (b, s, 1))
+    y0 = rng.integers(0, 900, (b, s, 1))
+    bbox = jnp.asarray(np.concatenate([x0, y0, x0 + 40, y0 + 25], -1),
+                       jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    t1 = jnp.asarray(rng.standard_normal((cfg.rel_pos_bins, h)), jnp.float32)
+    tx = jnp.asarray(rng.standard_normal((cfg.rel_2d_pos_bins, h)), jnp.float32)
+    ty = jnp.asarray(rng.standard_normal((cfg.rel_2d_pos_bins, h)), jnp.float32)
+    gw = jnp.asarray(rng.standard_normal((b, h, 128, 128)), jnp.float32)
+
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+
+    def loss_kernel(t1, tx, ty):
+        bias = materialize_bias(
+            pos, bbox[:, :, 0], bbox[:, :, 3], mask,
+            t1 * scale, tx * scale, ty * scale,
+            rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+            rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+            out_dtype=jnp.float32,
+        )
+        return (bias * gw).sum()
+
+    def loss_xla(t1, tx, ty):
+        params = {"encoder": {"rel_pos_bias": t1, "rel_pos_x_bias": tx,
+                              "rel_pos_y_bias": ty}}
+        bias = M2.make_attention_bias(
+            params, cfg, pos, bbox, mask, dtype=jnp.float32, pad_to=128,
+        )
+        return (bias * gw).sum()
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(t1, tx, ty)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(t1, tx, ty)
+    for a, b_ in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-5)
