@@ -67,11 +67,14 @@ def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
 
 
 def dropout(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
+    """Position-hash dropout (ops/hashing.py): ~8 VPU int ops per element vs
+    threefry's ~12 ms/step at the reference budget; one scalar key draw per
+    call site. Same Bernoulli(keep) semantics, different (hash) stream."""
     if deterministic or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    from multi_modal_early_exit_tpu.ops.hashing import hash_dropout
+
+    return hash_dropout(x, rate, rng)
 
 
 class RngStream:

@@ -44,44 +44,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multi_modal_early_exit_tpu.ops.hashing import dropout_uniform
+
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
 # ---------------------------------------------------------------------------
-# position-hash dropout (shared between kernels and the jnp reference)
+# position-hash dropout (ops/hashing.py supplies the uniform)
 # ---------------------------------------------------------------------------
-
-def _lowbias32(x: jax.Array) -> jax.Array:
-    """Well-mixed 32-bit integer hash (lowbias32, public domain constants)."""
-    x = x.astype(jnp.uint32)
-    x = x ^ (x >> jnp.uint32(16))
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> jnp.uint32(15))
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> jnp.uint32(16))
-    return x
-
-
-def dropout_uniform(
-    seed: jax.Array, bh: jax.Array, rows: jax.Array, cols: jax.Array
-) -> jax.Array:
-    """Uniform [0,1) as a pure function of (seed, batch*heads index, i, j).
-
-    Counter-based (no stream state): any kernel tiling regenerates the same
-    value for the same logical position. 24 mantissa-exact bits.
-    """
-    state = _lowbias32(seed.astype(jnp.uint32) ^ (bh.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)))
-    bits = _lowbias32(
-        state
-        + rows.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-        + cols.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
-    )
-    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32
-    top24 = (bits >> jnp.uint32(8)).astype(jnp.int32)
-    return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-
 
 def _dropout_scale_tile(
     seed, bh, row0, col0, shape, rate: float
@@ -209,85 +181,61 @@ def _flash_attention_fwd_impl(
 # backward kernels
 # ---------------------------------------------------------------------------
 
-def _attn_bwd_dq_kernel(
+def _attn_bwd_fused_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dbias_ref, *, scale: float, rate: float, block_q: int,
+    dq_ref, dbias_ref, dk_ref, dv_ref,
+    *, scale: float, rate: float, block_q: int,
 ):
-    """Per (b, h, q-block): dq tile + dbias (= dS) tile."""
+    """Per (b, h, q-block): dq + dbias tiles, with dk/dv ACCUMULATED across
+    the q-block grid dimension (their output blocks map to the same position
+    for every j, so they live in VMEM for the whole (b, h) sweep and are
+    written back once). One probability recompute serves all four grads —
+    half the qk^T/exp/bias-read/dropout-hash work of a two-kernel scheme."""
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
     q_blk = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]    # (Bq, 1)
+    q = q_ref[0, 0].astype(jnp.float32) * scale   # (Bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)           # (S, D)
+    v = v_ref[0, 0].astype(jnp.float32)           # (S, D)
+    do = do_ref[0, 0].astype(jnp.float32)         # (Bq, D)
+    lse = lse_ref[0, 0]     # (Bq, 1)
     delta = delta_ref[0, 0]  # (Bq, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias_ref[0, 0].astype(jnp.float32)
-    p = jnp.exp(s - lse)  # (Bq, S) normalized probs (pre-dropout)
-    # dL/dp = (mask/keep) * (do . v^T); delta = rowsum(do*o) equals
-    # sum_j p_j dL/dp_j for both the dropout and no-dropout cases.
+    ) + bias_ref[0, 0].astype(jnp.float32)        # (Bq, S)
+    p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Bq, S)
     if rate > 0.0:
         bh = b_idx * pl.num_programs(1) + h_idx
-        dp = dp * _dropout_scale_tile(
-            seed_ref[0], bh, q_blk * block_q, 0, dp.shape, rate
-        )
-    ds = p * (dp - delta)  # (Bq, S) — this IS dbias for the tile
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
-
-
-def _attn_bwd_dkv_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, *, scale: float, rate: float, block_k: int,
-):
-    """Per (b, h, k-block): dk tile + dv tile (recompute over column tiles)."""
-    b_idx = pl.program_id(0)
-    h_idx = pl.program_id(1)
-    k_blk = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale   # (S, D)
-    k = k_ref[0, 0].astype(jnp.float32)           # (Bk, D)
-    v = v_ref[0, 0].astype(jnp.float32)           # (Bk, D)
-    do = do_ref[0, 0].astype(jnp.float32)         # (S, D)
-    lse = lse_ref[0, 0]                           # (S, 1)
-    delta = delta_ref[0, 0]                       # (S, 1)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias_ref[0, 0].astype(jnp.float32)        # (S, Bk)
-    p = jnp.exp(s - lse)
-    if rate > 0.0:
-        bh = b_idx * pl.num_programs(1) + h_idx
         c = _dropout_scale_tile(
-            seed_ref[0], bh, 0, k_blk * block_k, p.shape, rate
+            seed_ref[0], bh, q_blk * block_q, 0, p.shape, rate
         )
         p_dropped = p * c
+        dp = dp * c
     else:
-        c = None
         p_dropped = p
-    # dv_j = sum_i (p*c)_ij do_i  -> contract over rows
-    dv = jax.lax.dot_general(
+    ds = p * (dp - delta)  # (Bq, S) — this IS dbias for the tile
+    dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+    dq_ref[0, 0] = (
+        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+
+    @pl.when(q_blk == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    # dk_j += sum_i ds_ij q_i * scale ; dv_j += sum_i (p*c)_ij do_i
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_ref[0, 0] += jax.lax.dot_general(
         p_dropped, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Bk, D)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, Bk)
-    if c is not None:
-        dp = dp * c
-    ds = p * (dp - delta)  # (S, Bk)
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Bk, D)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    )
 
 
 @functools.partial(
@@ -298,7 +246,6 @@ def _flash_attention_bwd_impl(
 ):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    block_k = block_q  # one tile size for both grids
     s_pad = -(-s // block_q) * block_q
 
     qp = _pad_to(q, 2, s_pad)
@@ -322,19 +269,20 @@ def _flash_attention_bwd_impl(
     vec_row_spec = pl.BlockSpec((1, 1, block_q, 1),
                                 lambda i, hh, j: (i, hh, j, 0),
                                 memory_space=pltpu.VMEM)
-    vec_full_spec = pl.BlockSpec((1, 1, s_pad, 1),
-                                 lambda i, hh, j: (i, hh, 0, 0),
-                                 memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     grid_q = (b, h, s_pad // block_q)
-    dq, dbias = pl.pallas_call(
+    dq, dbias, dk32, dv32 = pl.pallas_call(
         functools.partial(
-            _attn_bwd_dq_kernel, scale=scale, rate=rate, block_q=block_q
+            _attn_bwd_fused_kernel, scale=scale, rate=rate, block_q=block_q
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, s_pad, s_pad), bias.dtype),
+            # dk/dv accumulate across q-blocks in f32 (their block index is
+            # constant over j, so the accumulator stays VMEM-resident)
+            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
             grid=grid_q,
@@ -355,54 +303,21 @@ def _flash_attention_bwd_impl(
                 pl.BlockSpec((1, 1, block_q, s_pad),
                              lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM),  # dbias
+                full_spec,  # dk accumulator
+                full_spec,  # dv accumulator
             ],
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * h * s_pad * s_pad * d,
+            flops=10 * b * h * s_pad * s_pad * d,
             bytes_accessed=(
-                4 * b * h * s_pad * d * qp.dtype.itemsize
+                6 * b * h * s_pad * d * qp.dtype.itemsize
                 + 2 * b * h * s_pad * s_pad * bp.dtype.itemsize
             ),
             transcendentals=b * h * s_pad * s_pad,
         ),
     )(seed, qp, kp, vp, bp, gp, lsep, delta)
-
-    col_spec = pl.BlockSpec((1, 1, block_k, d), lambda i, hh, j: (i, hh, j, 0),
-                            memory_space=pltpu.VMEM)
-    grid_k = (b, h, s_pad // block_k)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _attn_bwd_dkv_kernel, scale=scale, rate=rate, block_k=block_k
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, s_pad, d), v.dtype),
-        ],
-        grid_spec=pl.GridSpec(
-            grid=grid_k,
-            in_specs=[
-                seed_spec,
-                full_spec,  # q
-                col_spec,   # k tile
-                col_spec,   # v tile
-                pl.BlockSpec((1, 1, s_pad, block_k),
-                             lambda i, hh, j: (i, hh, 0, j),
-                             memory_space=pltpu.VMEM),  # bias column tile
-                full_spec,  # do
-                vec_full_spec,  # lse full
-                vec_full_spec,  # delta full
-            ],
-            out_specs=[col_spec, col_spec],
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * h * s_pad * s_pad * d,
-            bytes_accessed=(
-                4 * b * h * s_pad * d * qp.dtype.itemsize
-                + b * h * s_pad * s_pad * bp.dtype.itemsize
-            ),
-            transcendentals=b * h * s_pad * s_pad,
-        ),
-    )(seed, qp, kp, vp, bp, gp, lsep, delta)
+    dk = dk32.astype(k.dtype)
+    dv = dv32.astype(v.dtype)
 
     dq = dq[:, :, :s, :]
     dk = dk[:, :, :s, :]

@@ -358,6 +358,134 @@ def _materialize_bias_impl(
     )(pos, cxp, cyp, maskp, t1, tx, ty)
 
 
+def _table_grads_kernel(
+    pos_ref, cx_ref, cy_ref, g_ref,          # (1,1,S) vecs + (1,H,bq,S) dbias
+    dt1_ref, dtx_ref, dty_ref,               # (bins, H) f32 accumulators
+    *, block_q: int, block_k: int, s_true: int,
+    rel_bins: int, max_rel: int, rel2d_bins: int, max_rel2d: int,
+):
+    """dtable[r, h] = sum over positions with bucket r of the bias cotangent.
+
+    One-hot matmuls on the MXU replace the sort-based XLA scatter that a
+    segment-sum lowers to (profiled at ~180 ms/step at the reference budget
+    — 3 scatters over 8M elements; this kernel does the same reduction in
+    ~milliseconds). Outputs use a constant index map: every grid cell maps
+    to the same (bins, H) block, which therefore lives in VMEM across the
+    whole sequential grid and is written back once (zero-init on the first
+    cell, accumulate afterwards)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    s = pos_ref.shape[2]
+    h = g_ref.shape[1]
+    rows = pl.ds(j * block_q, block_q)
+    pos_r = pos_ref[0, 0, rows]
+    cx_r = cx_ref[0, 0, rows]
+    cy_r = cy_ref[0, 0, rows]
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        dt1_ref[:] = jnp.zeros_like(dt1_ref)
+        dtx_ref[:] = jnp.zeros_like(dtx_ref)
+        dty_ref[:] = jnp.zeros_like(dty_ref)
+
+    n_cb = s // block_k
+
+    def col_body(cb, _):
+        cols = pl.ds(cb * block_k, block_k)
+        # the padded region of the builder's output is unspecified filler
+        # (its VJP contract covers only the true S x S block): mask it so a
+        # consumer that integrates pad values cannot corrupt table grads
+        row_ok = (j * block_q
+                  + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                  ) < s_true
+        col_ok = (cb * block_k
+                  + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                  ) < s_true
+        valid = row_ok & col_ok
+        # g tile for all heads: (H, bq, bk) -> (H, bq*bk) (collapse-trailing
+        # reshape, the only shape cast Mosaic supports here) in the
+        # cotangent's own dtype — a bf16 cotangent costs a bf16 one-hot
+        g_tile = g_ref[0, :, :, cols]
+        g_tile = jnp.where(valid[None], g_tile, jnp.zeros_like(g_tile))
+        gt = g_tile.reshape(h, -1)
+
+        def accumulate(out_ref, vec_r, vec_c, bins, max_d):
+            buckets = _bucket(vec_c[None, :] - vec_r[:, None], bins, max_d)
+            onehot = (
+                buckets[None, :, :]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (bins, block_q, block_k), 0
+                )
+            ).astype(gt.dtype).reshape(bins, -1)
+            out_ref[:] = out_ref[:] + jax.lax.dot_general(
+                onehot, gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        accumulate(dt1_ref, pos_r, pos_ref[0, 0, cols], rel_bins, max_rel)
+        accumulate(dtx_ref, cx_r, cx_ref[0, 0, cols], rel2d_bins, max_rel2d)
+        accumulate(dty_ref, cy_r, cy_ref[0, 0, cols], rel2d_bins, max_rel2d)
+        return 0
+
+    jax.lax.fori_loop(0, n_cb, col_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "rel_bins", "max_rel",
+                              "rel2d_bins", "max_rel2d")
+)
+def _table_grads(
+    position_ids, cx, cy, g,
+    block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d,
+):
+    b, s = position_ids.shape
+    h = g.shape[1]
+    s_pad = g.shape[3]
+    # bucket vectors at the padded width; padded-region cotangent is zero so
+    # whatever buckets the pad positions land in receive nothing
+    pos = _pad_axis(position_ids.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cxp = _pad_axis(cx.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cyp = _pad_axis(cy.astype(jnp.int32), 1, s_pad)[:, None, :]
+
+    kernel = functools.partial(
+        _table_grads_kernel, block_q=block_q, block_k=block_k, s_true=s,
+        rel_bins=rel_bins, max_rel=max_rel,
+        rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
+    )
+    vec_spec = pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec = lambda bins: pl.BlockSpec(  # noqa: E731
+        (bins, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((rel_bins, h), jnp.float32),
+            jax.ShapeDtypeStruct((rel2d_bins, h), jnp.float32),
+            jax.ShapeDtypeStruct((rel2d_bins, h), jnp.float32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(b, s_pad // block_q),
+            in_specs=[
+                vec_spec, vec_spec, vec_spec,
+                pl.BlockSpec((1, h, block_q, s_pad),
+                             lambda i, j: (i, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[acc_spec(rel_bins), acc_spec(rel2d_bins),
+                       acc_spec(rel2d_bins)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s_pad * s_pad * (rel_bins + 2 * rel2d_bins) * h,
+            bytes_accessed=b * h * s_pad * s_pad * g.dtype.itemsize,
+            transcendentals=3 * b * s_pad * s_pad,
+        ),
+    )(pos, cxp, cyp, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _materialize_bias_vjp(
     position_ids, cx, cy, attention_mask, t1, tx, ty,
@@ -392,23 +520,11 @@ def _materialize_bias_bwd(
     the padded region's cotangent is identically zero under the flash
     backward, and is sliced off here regardless."""
     position_ids, cx, cy = residuals
-    b, s = position_ids.shape
-    h = g.shape[1]
-    gt = (
-        g[:, :, :s, :s].astype(jnp.float32)
-        .transpose(0, 2, 3, 1)
-        .reshape(-1, h)
-    )  # (B*S*S, H)
-
-    def table_grad(vec, bins, max_d):
-        rel = vec[:, None, :].astype(jnp.int32) - vec[:, :, None].astype(jnp.int32)
-        buckets = _bucket(rel, bins, max_d).reshape(-1)
-        return jax.ops.segment_sum(gt, buckets, num_segments=bins)
-
     # tables are always fed as f32 (scale pre-folded by the callers)
-    dt1 = table_grad(position_ids, rel_bins, max_rel)
-    dtx = table_grad(cx, rel2d_bins, max_rel2d)
-    dty = table_grad(cy, rel2d_bins, max_rel2d)
+    dt1, dtx, dty = _table_grads(
+        position_ids, cx, cy, g,
+        block_q, block_k, rel_bins, max_rel, rel2d_bins, max_rel2d,
+    )
     return (None, None, None, None, dt1, dtx, dty)
 
 
