@@ -98,7 +98,7 @@ def main() -> None:
             TrainingArguments,
         )
 
-        remat = os.environ.get("BENCH_REMAT", "1") == "1"
+        remat = os.environ.get("BENCH_REMAT", "0") == "1"
         cfg = EEModelConfig(
             backbone=_dc.replace(
                 cfg.backbone, gradient_checkpointing=remat
@@ -177,7 +177,10 @@ def main() -> None:
                 ids = jnp.where(
                     mask > 0, (input_ids + k) % bb.vocab_size, input_ids
                 )
-                out = ee_forward(params, cfg, ids, bbox, pixel_values, mask)
+                out = ee_forward(
+                    params, cfg, ids, bbox, pixel_values, mask,
+                    seq_pad_multiple=128,
+                )
                 store = out.policy_logits()
                 return carry + store.astype(jnp.float32).sum(), None
 

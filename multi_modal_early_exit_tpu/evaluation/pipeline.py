@@ -77,9 +77,16 @@ def get_logits(
         logger_message(f"Loading cached logits from {output_path}", type="warning")
         return load_npz(logits_file), load_npz(refs_file), {}
 
+    from multi_modal_early_exit_tpu.ops.flash_attention import (
+        use_flash_attention,
+    )
+
+    # lane-aligned sequence pad (709 -> 768): the flash kernel stops
+    # re-padding q/k/v per layer; padded keys are masked, outputs unchanged
+    pad_multiple = 128 if use_flash_attention() else None
     fwd = jax.jit(
         lambda p, ids, bbox, pv, m: ee_forward(
-            p, cfg, ids, bbox, pv, m
+            p, cfg, ids, bbox, pv, m, seq_pad_multiple=pad_multiple
         ).policy_logits()
     )
 
@@ -163,7 +170,7 @@ def calibrate(
         avg_conf.append(
             float(scipy.special.softmax(val_cal, -1).max(-1).mean())
         )
-        temperatures.append(float(scaler.temperature[0]))
+        temperatures.append(float(scaler.temperature))
 
     config["calibration_metrics"] = {
         "ece": eces,

@@ -205,6 +205,21 @@ def make_cascade_forward(
             running = running & ~exits_now
 
         capacity_exited = jnp.zeros((B,), bool)
+
+        # Pad the sequence ONCE to the lane-aligned width (709 -> 768 at the
+        # reference budget): every encoder-stage op then runs aligned — the
+        # flash kernel stops re-padding q/k/v per layer, and the LayerNorm /
+        # elementwise fusions stop limping over a ragged sublane dimension.
+        # Pad columns carry mask 0 (bias -inf keys) so they never influence
+        # real tokens; pad rows are garbage but only row 0 is ever read.
+        if use_flash_attention():
+            s_all = combined.shape[1]
+            pad = (-s_all) % 128
+            if pad:
+                combined = jnp.pad(combined, ((0, 0), (0, pad), (0, 0)))
+                full_bbox = jnp.pad(full_bbox, ((0, 0), (0, pad), (0, 0)))
+                pos_ids = jnp.pad(pos_ids, ((0, 0), (0, pad)))
+                full_mask = jnp.pad(full_mask, ((0, 0), (0, pad)))
         state = (combined, full_bbox, pos_ids, full_mask)
 
         # desire-to-continue score: most-confident first would exit; we rank

@@ -108,3 +108,46 @@ def test_cascade_gate_heads_match_exact_policy(setup):
     assert res.logits.shape == (B, 4)
     np.testing.assert_allclose(np.asarray(res.logits), expected_logits,
                                atol=3e-5, rtol=1e-4)
+
+
+def test_cascade_with_flash_kernels_matches_xla_path(monkeypatch):
+    """The cascade's flash path (pallas bias builder + fused attention +
+    once-per-cascade lane padding) must reproduce the plain XLA cascade —
+    decisions exactly, logits to bf16-ish tolerance (the builder quantizes
+    the bias to bf16)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multi_modal_early_exit_tpu.ops import flash_attention as fa_mod
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(9)
+    B, S = 8, 20
+    ids = jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32)
+    bbox = jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32)
+    pv = jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+    mask = mask.at[0, -4:].set(0)
+
+    cascade = make_cascade_forward(cfg, capacities=(8, 8), threshold=0.5)
+    plain = cascade(params, ids, bbox, pv, mask)
+
+    import multi_modal_early_exit_tpu.models.ee.cascade as cascade_mod
+
+    monkeypatch.setattr(fa_mod, "use_flash_attention", lambda: True)
+    # cascade binds the gate at import time; patch its module name too so
+    # the once-per-cascade lane padding + pallas bias builder path runs
+    monkeypatch.setattr(cascade_mod, "use_flash_attention", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        flash = cascade(params, ids, bbox, pv, mask)
+
+    np.testing.assert_array_equal(
+        np.asarray(flash.exit_ids), np.asarray(plain.exit_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash.logits), np.asarray(plain.logits),
+        atol=5e-2, rtol=5e-2,
+    )
