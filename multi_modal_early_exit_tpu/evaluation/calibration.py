@@ -18,46 +18,49 @@ from sklearn.linear_model import LogisticRegression
 from sklearn.metrics import log_loss
 
 
-def manual_NLL(y_true: np.ndarray, P: np.ndarray) -> float:
-    log_sum_exp = logsumexp(a=P, axis=1)
-    logits_trueclass = np.sum(P * y_true, axis=1)
-    return float(-np.mean(logits_trueclass - log_sum_exp))
+def nll_of_logits(labels_one_hot: np.ndarray, logits: np.ndarray) -> float:
+    """Mean negative log-likelihood straight from logits (stable logsumexp
+    form); sanity-check companion to the optimizer's log_loss objective."""
+    log_z = logsumexp(a=logits, axis=1)
+    true_logit = np.sum(logits * labels_one_hot, axis=1)
+    return float(-np.mean(true_logit - log_z))
 
 
 class TemperatureScaler:
-    """Fit a scalar temperature on validation logits; apply to test logits."""
+    """Scalar temperature calibration: T = argmin NLL(softmax(logits / T)).
 
-    def __init__(self, temperature: Optional[float] = None):
-        self.temperature = np.ones(1) if not temperature else np.ones(1) * temperature
+    What must match the reference for threshold parity (and does): the
+    objective — sklearn ``log_loss`` over softmax-scaled logits — and the
+    optimizer — scipy L-BFGS-B from T0=1 with lower bound 1e-32
+    (EE/generic_scaling.py:90-99 is the spec). Everything else (state,
+    method surface) is this framework's own design: the temperature is a
+    plain float and ``fit`` is the single entry point.
+    """
 
-    def fit(self, labels: np.ndarray, logits: np.ndarray) -> np.ndarray:
-        return self.set_temperature(labels, logits)
+    def __init__(self, temperature: float = 1.0):
+        self.temperature = float(temperature)
 
-    def transform(self, logits: np.ndarray) -> np.ndarray:
-        return softmax(self.temperature_scale(logits), -1)
+    def fit(self, labels: np.ndarray, logits: np.ndarray) -> float:
+        n_classes = np.arange(logits.shape[-1])
 
-    def temperature_scale(self, logits: np.ndarray) -> np.ndarray:
-        temperature = np.resize(self.temperature, logits.shape)
-        return logits / temperature
-
-    def set_temperature(self, labels: np.ndarray, logits: np.ndarray) -> np.ndarray:
-        def objective(temperature, labels, logits):
-            return log_loss(
-                labels,
-                softmax(logits / temperature, -1),
-                labels=np.arange(logits.shape[-1]),
-            )
+        def objective(t: np.ndarray) -> float:
+            return log_loss(labels, softmax(logits / t, -1), labels=n_classes)
 
         result = minimize(
             objective,
-            x0=self.temperature,
+            x0=np.asarray([self.temperature]),
             method="L-BFGS-B",
-            args=(labels, logits),
             bounds=[(1e-32, None)],
         )
-        assert result.success
-        self.temperature = result.x
+        assert result.success, result.message
+        self.temperature = float(result.x[0])
         return self.temperature
+
+    def temperature_scale(self, logits: np.ndarray) -> np.ndarray:
+        return logits / self.temperature
+
+    def transform(self, logits: np.ndarray) -> np.ndarray:
+        return softmax(self.temperature_scale(logits), -1)
 
 
 def get_platt_scaler(model_probs: np.ndarray, labels: np.ndarray) -> Callable:
@@ -102,7 +105,7 @@ def calibrate_exit_logits(
         ece.append(float(ece_logits(validation_references, cal_val)))
         acc.append(float(np.mean(cal_val.argmax(-1) == validation_references)))
         avg_conf.append(float(softmax(cal_val, -1).max(-1).mean()))
-        temperatures.append(float(scaler.temperature[0]))
+        temperatures.append(float(scaler.temperature))
     metrics = {
         "ece": ece,
         "accuracy": acc,

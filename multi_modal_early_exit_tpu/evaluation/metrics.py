@@ -118,8 +118,18 @@ def ece_logits(
 
     Local reimplementation of the ``jordyvl/ece`` hub metric invocation in the
     reference (EE/metrics.py:483-498): n_bins = min(N-1, 100), equal-mass
-    bins over [0,1], per-bin confidence proxied by the bin's upper edge,
-    L1 (p=1) aggregation weighted by bin mass.
+    bins, per-bin confidence proxied by the bin's upper edge, L1 (p=1)
+    aggregation weighted by bin mass.
+
+    Binning convention (load-bearing for equal-mass, where edges ARE data
+    values so edge ties are the norm): scipy ``binned_statistic`` semantics —
+    bins are left-closed ``[e_b, e_{b+1})`` with the LAST bin right-closed;
+    equal-mass edges are confidence quantiles via
+    ``np.interp(linspace(0, N, B+1), arange(N), sort(conf))``. The hub metric
+    computes its binned statistics through scipy; ``tests/test_metrics.py``
+    pins this function to a direct ``scipy.stats.binned_statistic`` oracle at
+    1e-12 plus hand-computed golden cases (offline — the hub module itself
+    is not fetchable in this environment; PARITY.md records the caveat).
     """
     references = np.asarray(references)
     probs = _softmax_if_logits(np.asarray(predictions, dtype=np.float64))
@@ -139,8 +149,9 @@ def ece_logits(
     else:  # equal-range
         edges = np.linspace(0.0, 1.0, n_bins + 1)
 
-    # assign to bins by upper edge (right-closed), clamp to valid range
-    idx = np.searchsorted(edges[1:-1], conf, side="left")
+    # digitize convention: a value equal to an interior edge lands in the
+    # RIGHT (higher) bin; values at/above the last edge land in the last bin
+    idx = np.searchsorted(edges[1:-1], conf, side="right")
     ece = 0.0
     for b in range(n_bins):
         mask = idx == b
@@ -182,33 +193,80 @@ class StatsCache:
 
     @cached_property
     def rc_curve_stats(self) -> Tuple[list, list, list]:
-        coverages = []
-        risks = []
-        n_residuals = len(self.residuals)
+        """Risk-coverage curve: vectorized form of the algorithm the
+        reference takes from the fd-shifts library (Jaeger et al., "A Call
+        to Reflect on Evaluation Practices for Failure Detection";
+        EE/metrics.py:378-399 credits github.com/IML-DKFZ/fd-shifts).
+
+        Semantics: walk samples in ascending-confidence order, dropping one
+        at a time; emit a (coverage, selective_risk) point whenever the
+        confidence strictly increases (ties collapse into the next point's
+        trapezoid weight); a trailing tie block contributes a final
+        zero-coverage point at the last emitted risk.  Output lists are
+        element-identical to the sequential loop for 0/1 residuals
+        (integer-valued float arithmetic is exact either way); the loop
+        survives as ``rc_curve_stats_reference`` for the cross-check test.
+        """
+        n = len(self.residuals)
         idx_sorted = np.argsort(self.confids)
+        sorted_conf = self.confids[idx_sorted]
+        sorted_res = np.asarray(self.residuals, dtype=np.float64)[idx_sorted]
 
-        coverage = n_residuals
-        error_sum = float(np.sum(self.residuals[idx_sorted]))
-        coverages.append(coverage / n_residuals)
-        risks.append(error_sum / n_residuals)
+        total = float(np.sum(sorted_res))
+        if n == 1:
+            return [1.0], [total / n], []
 
-        weights = []
-        tmp_weight = 0
-        for i in range(0, len(idx_sorted) - 1):
-            coverage -= 1
-            error_sum -= self.residuals[idx_sorted[i]]
-            selective_risk = error_sum / (n_residuals - 1 - i)
-            tmp_weight += 1
-            if i == 0 or self.confids[idx_sorted[i]] != self.confids[idx_sorted[i - 1]]:
-                coverages.append(coverage / n_residuals)
-                risks.append(selective_risk)
-                weights.append(tmp_weight / n_residuals)
-                tmp_weight = 0
-        if tmp_weight > 0:
+        cum = np.cumsum(sorted_res)  # cum[i] = residual mass of dropped 0..i
+        steps = np.arange(n - 1)
+        remaining = n - 1 - steps
+        risks_all = (total - cum[: n - 1]) / remaining
+        coverages_all = remaining / n
+
+        emit = np.empty(n - 1, dtype=bool)
+        emit[0] = True
+        emit[1:] = sorted_conf[1 : n - 1] != sorted_conf[: n - 2]
+        e_idx = np.flatnonzero(emit)
+        point_weights = np.diff(np.concatenate(([-1], e_idx)))
+
+        coverages = [1.0] + list(coverages_all[e_idx])
+        risks = [total / n] + list(risks_all[e_idx])
+        weights = list(point_weights / n)
+        trailing = (n - 2) - e_idx[-1]
+        if trailing > 0:
             coverages.append(0)
             risks.append(risks[-1])
-            weights.append(tmp_weight / n_residuals)
+            weights.append(trailing / n)
         return coverages, risks, weights
+
+
+def rc_curve_stats_reference(
+    confids: np.ndarray, residuals: np.ndarray
+) -> Tuple[list, list, list]:
+    """Sequential-loop oracle for ``StatsCache.rc_curve_stats`` (the
+    fd-shifts algorithm as the reference transcribes it,
+    EE/metrics.py:378-399). Test-only: pins the vectorized rewrite."""
+    coverages, risks, weights = [], [], []
+    n = len(residuals)
+    idx_sorted = np.argsort(confids)
+    coverage = n
+    error_sum = float(np.sum(residuals[idx_sorted]))
+    coverages.append(coverage / n)
+    risks.append(error_sum / n)
+    tmp_weight = 0
+    for i in range(0, len(idx_sorted) - 1):
+        coverage -= 1
+        error_sum -= residuals[idx_sorted[i]]
+        tmp_weight += 1
+        if i == 0 or confids[idx_sorted[i]] != confids[idx_sorted[i - 1]]:
+            coverages.append(coverage / n)
+            risks.append(error_sum / (n - 1 - i))
+            weights.append(tmp_weight / n)
+            tmp_weight = 0
+    if tmp_weight > 0:
+        coverages.append(0)
+        risks.append(risks[-1])
+        weights.append(tmp_weight / n)
+    return coverages, risks, weights
 
 
 def aurc(stats_cache: StatsCache) -> float:

@@ -30,7 +30,7 @@ def test_recovers_known_temperature():
     y = np.array([rng.choice(k, p=p) for p in probs])
     scaler = TemperatureScaler()
     scaler.fit(y, true_logits * 3.0)
-    assert 2.5 < scaler.temperature[0] < 3.5
+    assert 2.5 < scaler.temperature < 3.5
 
 
 def test_calibrate_exit_logits_shapes():
