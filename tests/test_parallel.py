@@ -76,3 +76,85 @@ def test_shard_batch_splits_leading_axis():
     batch = {"ids": np.arange(32).reshape(16, 2)}
     out = shard_batch(batch, mesh)
     assert len(out["ids"].sharding.device_set) == 8
+
+
+def test_sharded_flash_attention_matches_unsharded():
+    """The shard_map wrapper (batch on data, heads on model) must equal the
+    unsharded kernel exactly in the deterministic case — the multi-chip
+    serving contract for the Pallas attention (VERDICT round-1 #5)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multi_modal_early_exit_tpu.ops import flash_attention as fa
+    from multi_modal_early_exit_tpu.parallel.kernels import (
+        sharded_flash_attention,
+    )
+
+    mesh = create_mesh((4, 2))
+    rng = np.random.default_rng(0)
+    b, h, s, d = 8, 4, 32, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(fa.flash_attention(q, k, v, bias, 16))
+        got = np.asarray(
+            sharded_flash_attention(mesh, q, k, v, bias, block_q=16)
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError):
+        sharded_flash_attention(mesh, q[:, :3], k[:, :3], v[:, :3],
+                                bias[:, :3])
+
+
+def test_sharded_ee_forward_matches_single_device():
+    """Deterministic EE forward under the DP x TP mesh == single-device
+    output (the dryrun_multichip inference proof, testable on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import (
+        ee_forward,
+        init_ee_params,
+    )
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.parallel.mesh import DATA_AXIS
+    from multi_modal_early_exit_tpu.parallel.sharding import shard_params
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    mesh = create_mesh((4, 2))
+    sharded_params = shard_params(params, mesh)
+
+    rng = np.random.default_rng(2)
+    B, S = 8, 16
+    ids = np.asarray(rng.integers(3, 1000, (B, S)), np.int32)
+    bbox = np.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), np.int32)
+    pv = np.asarray(rng.standard_normal((B, 3, 32, 32)), np.float32)
+    mask = np.ones((B, S), np.int32)
+
+    def fwd(p, ids, bbox, pv, mask):
+        out = ee_forward(p, cfg, ids, bbox, pv, mask)
+        return out.policy_logits(), out.exit_criteria
+
+    data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharded = jax.jit(fwd)(
+        sharded_params,
+        *(jax.device_put(x, data_sharding) for x in (ids, bbox, pv, mask)),
+    )
+    single = jax.jit(fwd)(params, ids, bbox, pv, mask)
+    for a, b in zip(sharded, single):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
