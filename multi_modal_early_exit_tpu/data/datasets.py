@@ -254,6 +254,8 @@ def build_rvl_cdip_n(split: str, tokenizer=None, seq_len: int = MAX_SEQ_LENGTH,
                      image_size: int = 224) -> DocClassificationDataset:
     """RVL-CDIP-N (OOD test set) remapped onto the RVL-CDIP labelset
     (reference: EE/configs.py:257-292)."""
+    import datasets as hfds
+
     dsd = _load_hub("jordyvl/RVL-CDIP-N")
     ds = dsd[split if split in dsd else "test"]
     names = ds.features["label"].names
@@ -261,11 +263,35 @@ def build_rvl_cdip_n(split: str, tokenizer=None, seq_len: int = MAX_SEQ_LENGTH,
     for i, raw in enumerate(names):
         fixed = RVL_CDIP_N_NAME_FIX.get(raw, raw).replace(" ", "_")
         remap[i] = {v: k for k, v in RVL_CDIP_ID2LABEL.items()}[fixed]
-    ds = ds.map(lambda ex: {"label": remap[ex["label"]]})
+    # cast the label feature to the FULL model labelset before remapping —
+    # remapped ids exceed the OOD set's own num_classes (the reference does
+    # the same cast via new Features, EE/configs.py:277-292)
+    new_features = hfds.Features(
+        {
+            **{k: v for k, v in ds.features.items() if k != "label"},
+            "label": hfds.ClassLabel(names=list(RVL_CDIP_ID2LABEL.values())),
+        }
+    )
+    ds = ds.map(
+        lambda ex: {"label": remap[ex["label"]]}, features=new_features
+    )
     return _encode_hub_split(
         ds, split, "rvl_cdip_n", RVL_CDIP_ID2LABEL,
         tokenizer or load_tokenizer(), seq_len, image_size,
     )
+
+
+def tobacco_split_indices(n: int, split: str, seed: int = 42) -> np.ndarray:
+    """Row indices of a Tobacco-3482 split: the reference draws 800/200/2482
+    contiguous ranges from ONE seed-42 shuffle of the single 'train' split
+    (EE/configs.py:302-326). HF ``Dataset.shuffle(seed)`` permutes with
+    ``np.random.default_rng(seed).permutation(n)``, so this reproduces the
+    reference's row selection exactly (pinned in tests/test_datasets_hub.py
+    against an actual ``datasets.Dataset.shuffle``)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    bounds = {"train": (0, 800), "validation": (800, 1000), "test": (1000, n)}
+    lo, hi = bounds[split]
+    return perm[lo:hi]
 
 
 def build_tobacco3482(split: str, tokenizer=None, seq_len: int = MAX_SEQ_LENGTH,
@@ -273,12 +299,7 @@ def build_tobacco3482(split: str, tokenizer=None, seq_len: int = MAX_SEQ_LENGTH,
     """Tobacco-3482 with the reference's fixed 800/200/2482 splits drawn from
     a seeded shuffle of the single 'train' split (EE/configs.py:296-326)."""
     ds = _load_hub("maveriq/tobacco3482")["train"]
-    n = len(ds)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
-    bounds = {"train": (0, 800), "validation": (800, 1000), "test": (1000, n)}
-    lo, hi = bounds[split]
-    ds = ds.select(perm[lo:hi].tolist())
+    ds = ds.select(tobacco_split_indices(len(ds), split, seed).tolist())
     return _encode_hub_split(
         ds, split, "tobacco3482", TOBACCO_ID2LABEL,
         tokenizer or load_tokenizer(), seq_len, image_size,
