@@ -185,3 +185,57 @@ def test_bf16_mixed_precision_trains():
     assert abs(float(l16) - float(l32)) < 0.05
     for g in jax.tree.leaves(g16):
         assert g.dtype == jnp.float32
+
+
+def test_lte_losses_match_reference_semantics_when_aligned():
+    """Pinned-behavior test for the LTE loss (VERDICT round-1 weak #8).
+
+    In the ALIGNED case — every exit is an encoder exit, so every exit has
+    an LTE score and the reference's `lte_output[j]` indexing lines up —
+    our cleaned-up `_lte_losses` must reproduce the reference computation
+    exactly (EE/models/LayoutLMv3.py:795-857): exit j's loss is
+    sum(CE of exits 0..j) + final CE + MSE(lte_j, 1 - correct_j), where
+    correct_j comes from exit j's logits except the LAST exit, which the
+    reference compares against the FINAL classifier (num_layers there counts
+    encoder exits, LayoutLMv3.py:689-691, so `j+1 == num_layers` is the last
+    exit in this configuration)."""
+    import scipy.special
+
+    from multi_modal_early_exit_tpu.models.ee.model import ee_forward
+    from multi_modal_early_exit_tpu.training.losses import _lte_losses
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=(1, 2), use_lte=True,
+                        training_strategy="joint_weighted_avg"),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    batch = make_batch(cfg)
+    labels = batch.pop("labels")
+    outputs = ee_forward(params, cfg, batch["input_ids"], batch["bbox"],
+                         batch["pixel_values"], batch["attention_mask"])
+    assert outputs.lte_scores is not None
+    assert outputs.lte_scores.shape[0] == outputs.num_exits  # aligned
+
+    got = np.asarray(_lte_losses(outputs, cfg, labels))
+
+    # hand-rolled reference loop in numpy
+    y = np.asarray(labels)
+    exit_logits = np.asarray(outputs.exit_logits, np.float64)
+    final_logits = np.asarray(outputs.logits, np.float64)
+    lte = np.asarray(outputs.lte_scores, np.float64)
+
+    def ce(lg):
+        logp = lg - scipy.special.logsumexp(lg, axis=-1, keepdims=True)
+        return float(-np.mean(logp[np.arange(len(y)), y]))
+
+    E = exit_logits.shape[0]
+    final_loss = ce(final_logits)
+    inter, want = [], []
+    for j in range(E):
+        inter.append(ce(exit_logits[j]))
+        layer = final_logits if j + 1 == E else exit_logits[j]
+        correct = (np.argmax(layer, -1) == y).astype(np.float64)
+        mse = float(np.mean((lte[j] - (1.0 - correct)) ** 2))
+        want.append(sum(inter) + final_loss + mse)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-6)
