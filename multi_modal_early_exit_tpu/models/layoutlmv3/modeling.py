@@ -382,14 +382,39 @@ def attention_apply(
     """Self-attention block with additive bias; reference order of operations:
     scores = (q/√d)·kᵀ + bias; softmax; dropout; ·v; dense; dropout; LN(res)."""
     d = cfg.head_dim
-    q = _split_heads(linear(p["query"], hidden), cfg.num_attention_heads)
-    k = _split_heads(linear(p["key"], hidden), cfg.num_attention_heads)
-    v = _split_heads(linear(p["value"], hidden), cfg.num_attention_heads)
 
     from multi_modal_early_exit_tpu.ops.flash_attention import (
         flash_attention,
+        flash_attention_packed,
         use_flash_attention,
     )
+
+    if (
+        deterministic
+        and not isinstance(attn_bias, FusedBiasContext)
+        and attn_bias is not None
+        and attn_bias.shape[1] == cfg.num_attention_heads
+        and use_flash_attention()
+    ):
+        # packed-layout kernel: q/k/v stay (B, S, hidden) straight out of
+        # the projections — no (B,H,S,D) transposes exist, so XLA keeps
+        # natural layouts on the surrounding matmul/LN fusions (the
+        # transpose copies + distorted layouts cost ~25% of a cascade
+        # encoder layer). Inference path only; training keeps the
+        # custom-VJP kernel below.
+        ctx = flash_attention_packed(
+            linear(p["query"], hidden),
+            linear(p["key"], hidden),
+            linear(p["value"], hidden),
+            attn_bias,
+            cfg.num_attention_heads,
+        ).astype(hidden.dtype)
+        out = linear(p["output"], ctx)
+        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
+    q = _split_heads(linear(p["query"], hidden), cfg.num_attention_heads)
+    k = _split_heads(linear(p["key"], hidden), cfg.num_attention_heads)
+    v = _split_heads(linear(p["value"], hidden), cfg.num_attention_heads)
 
     if isinstance(attn_bias, FusedBiasContext):
         # in-kernel bias construction: no (B,H,S,S) tensor exists at all

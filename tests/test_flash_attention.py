@@ -237,3 +237,49 @@ def test_training_grads_with_flash_match_xla_path(monkeypatch):
     g_drop = grads(deterministic=False)
     for leaf in jax.tree.leaves(g_drop):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("s", [52, 64])
+def test_packed_forward_matches_reference(s):
+    """The packed-layout kernel (q/k/v as (B, S, H*D), heads innermost in
+    the grid, per-head lane slices) must equal the (B,H,S,D) reference."""
+    rng = np.random.default_rng(11)
+    b, h, d = 2, 4, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    want = fa.reference_attention(split(qp), split(kp), split(vp), bias)
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(b, s, hd)
+    got = np.asarray(fa.flash_attention_packed(qp, kp, vp, bias, h, block_q=16))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_forward_prepadded_bias():
+    """Bias wider than S (model-level lane pre-pad) is consumed as-is; the
+    -inf pad keys must not disturb real rows."""
+    rng = np.random.default_rng(12)
+    b, h, s, d = 1, 2, 40, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    pad = 64 - s
+    bias_wide = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                        constant_values=fa.NEG_INF)
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    want = fa.reference_attention(split(qp), split(kp), split(vp), bias)
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(b, s, hd)
+    got = np.asarray(
+        fa.flash_attention_packed(qp, kp, vp, bias_wide, h, block_q=16)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
