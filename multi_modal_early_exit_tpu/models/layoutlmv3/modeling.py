@@ -609,11 +609,12 @@ class FusedBiasContext(NamedTuple):
 def use_fused_bias_attention(default: bool = False) -> bool:
     """In-kernel bias construction (TPU only).
 
-    MMEE_FUSED_BIAS=1 forces it on, =0 forces it off; unset uses the
-    call site's measured-best default (cascade stages: on — the per-stage
-    bias gather dominates at compacted row counts; one-shot full-depth
-    forward: off — recomputing the bias per layer costs more than the
-    one-time dense build there).
+    MMEE_FUSED_BIAS=1 forces it on, =0 forces it off; unset uses the call
+    site's measured-best default — currently OFF everywhere: the one-pass
+    Pallas bias builder (kernel_attention_bias) + flash reads beat per-layer
+    in-kernel bias recomputation at both full-batch and compacted-stage row
+    counts. The in-kernel variant remains the memory-bound-shape escape
+    hatch (no (B,H,S,S) tensor at all).
     """
     import os
 
