@@ -179,11 +179,19 @@ def ee_loss_fn(
         # visual embeddings -> f32 concat -> f32 encoder + f32 bias)
         pixel_values = pixel_values.astype(compute_dtype)
 
+    from multi_modal_early_exit_tpu.ops.flash_attention import (
+        use_flash_attention,
+    )
+
     outputs = ee_forward(
         fwd_params, cfg,
         batch["input_ids"], batch["bbox"], pixel_values,
         batch.get("attention_mask"),
         deterministic=deterministic, rng=rng,
+        # lane-align the sequence once (709 -> 768 at the reference budget):
+        # fwd AND bwd flash kernels stop re-padding q/k/v per layer, and the
+        # LN/elementwise fusions run aligned (same win as the cascade)
+        seq_pad_multiple=128 if use_flash_attention() else None,
     )
     labels = batch["labels"]
     final_loss = cross_entropy(outputs.logits, labels)
