@@ -158,3 +158,54 @@ def test_sharded_ee_forward_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
         )
+
+
+def test_cascade_under_dp_mesh_matches_single_device():
+    """The single-program cascade jitted with batch-sharded inputs over a
+    pure-DP mesh must reproduce the single-device decisions and logits —
+    the multi-chip serving contract (XLA inserts the collectives that the
+    global top-k capacity selection needs)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.cascade import (
+        make_cascade_forward,
+    )
+    from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.parallel.mesh import DATA_AXIS
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    mesh = create_mesh((8, 1))
+    rng = np.random.default_rng(5)
+    B, S = 16, 16
+    ids = np.asarray(rng.integers(3, 1000, (B, S)), np.int32)
+    bbox = np.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), np.int32)
+    pv = np.asarray(rng.standard_normal((B, 3, 32, 32)), np.float32)
+    mask = np.ones((B, S), np.int32)
+
+    cascade = make_cascade_forward(cfg, capacities=(8, 8), threshold=0.5)
+    fwd = jax.jit(lambda p, i, b, v, m: cascade(p, i, b, v, m))
+    single = fwd(params, ids, bbox, pv, mask)
+
+    data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharded = fwd(
+        jax.device_put(params, NamedSharding(mesh, P())),
+        *(jax.device_put(x, data_sharding) for x in (ids, bbox, pv, mask)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.exit_ids), np.asarray(single.exit_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.logits), np.asarray(single.logits),
+        atol=1e-5, rtol=1e-5,
+    )
