@@ -31,7 +31,14 @@ def main() -> None:
                         help="tiny config (CPU-friendly smoke run)")
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # the session environment force-registers the TPU backend from
+    # sitecustomize; honor an explicit JAX_PLATFORMS=cpu request anyway
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
     from multi_modal_early_exit_tpu.data.datasets import build_synthetic

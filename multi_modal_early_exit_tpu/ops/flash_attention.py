@@ -405,9 +405,13 @@ def _attn_fwd_packed_kernel(
     out head groups (Mosaic demands 128-aligned dynamic lane offsets, hence
     groups of heads totalling a lane-tile multiple); heads split statically
     within the group."""
-    hg = pl.program_id(2)
     width = heads_per_cell * head_dim
-    cols = pl.ds(hg * width, width)
+    if width == q_ref.shape[-1]:
+        # single head group: a STATIC full-width slice (Mosaic cannot prove
+        # program_id(2)*width is lane-aligned even when the grid dim is 1)
+        cols = slice(None)
+    else:
+        cols = pl.ds(pl.program_id(2) * width, width)
     qg = q_ref[0, :, cols].astype(jnp.float32) * scale   # (Bq, hp*D)
     kg = k_ref[0, :, cols].astype(jnp.float32)           # (S, hp*D)
     vg = v_ref[0, :, cols]                               # (S, hp*D)
