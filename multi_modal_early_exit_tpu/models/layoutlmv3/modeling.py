@@ -386,30 +386,43 @@ def attention_apply(
     from multi_modal_early_exit_tpu.ops.flash_attention import (
         flash_attention,
         flash_attention_packed,
+        flash_attention_packed_train,
         use_flash_attention,
     )
 
     if (
-        deterministic
-        and not isinstance(attn_bias, FusedBiasContext)
+        not isinstance(attn_bias, FusedBiasContext)
         and attn_bias is not None
         and attn_bias.shape[1] == cfg.num_attention_heads
         and use_flash_attention()
     ):
-        # packed-layout kernel: q/k/v stay (B, S, hidden) straight out of
-        # the projections — no (B,H,S,D) transposes exist, so XLA keeps
-        # natural layouts on the surrounding matmul/LN fusions (the
-        # transpose copies + distorted layouts cost ~25% of a cascade
-        # encoder layer). Inference path only; training keeps the
-        # custom-VJP kernel below.
-        ctx = flash_attention_packed(
-            linear(p["query"], hidden),
-            linear(p["key"], hidden),
-            linear(p["value"], hidden),
-            attn_bias,
-            cfg.num_attention_heads,
-        ).astype(hidden.dtype)
+        # packed-layout kernels: q/k/v stay (B, S, hidden) straight out of
+        # the projections — no (B,H,S,D) transposes exist in forward OR
+        # backward, so XLA keeps natural layouts on the surrounding
+        # matmul/LN fusions (the transpose copies + distorted layouts cost
+        # ~25% of a cascade encoder layer). Deterministic path: fwd-only
+        # kernel; stochastic path: train twin with in-kernel position-hash
+        # dropout + packed fused backward.
+        qp = linear(p["query"], hidden)
+        kp = linear(p["key"], hidden)
+        vp = linear(p["value"], hidden)
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        if rate > 0.0 and rng_attn is None:
+            rate = 0.0  # no rng provided: match dropout()'s no-op behavior
+        if rate > 0.0:
+            seed = jax.random.randint(
+                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+            ctx = flash_attention_packed_train(
+                qp, kp, vp, attn_bias, seed, cfg.num_attention_heads,
+                rate=rate,
+            ).astype(hidden.dtype)
+        else:
+            ctx = flash_attention_packed(
+                qp, kp, vp, attn_bias, cfg.num_attention_heads
+            ).astype(hidden.dtype)
         out = linear(p["output"], ctx)
+        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
 
     q = _split_heads(linear(p["query"], hidden), cfg.num_attention_heads)
@@ -436,45 +449,26 @@ def attention_apply(
         out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
 
-    use_flash = (
-        attn_bias is not None
-        and attn_bias.shape[1] == cfg.num_attention_heads
-        and use_flash_attention()
+    # XLA composition (non-flash backends and head-mismatched biases; the
+    # `flash_attention` (B,H,S,D) kernel pair remains available for direct
+    # callers, e.g. parallel.kernels.sharded_flash_attention)
+    del flash_attention
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
+        preferred_element_type=jnp.float32,
     )
-    if use_flash:
-        # VMEM-resident fused softmax(qk^T/sqrt(d) + bias)v — no (S,S)
-        # probability tensor in HBM in either direction (Pallas fwd + bwd,
-        # ops/flash_attention.py). The bias may be pre-padded wider than S
-        # (built once at the aligned width). Attention-prob dropout runs
-        # in-kernel from a position-hash mask seeded per layer.
-        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
-        seed = None
-        if rate > 0.0 and rng_attn is not None:
-            seed = jax.random.randint(
-                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-            )
-        elif rate > 0.0:
-            rate = 0.0  # no rng provided: match dropout()'s no-op behavior
-        ctx = flash_attention(
-            q, k, v, attn_bias, dropout_rate=rate, dropout_seed=seed
-        )
-    else:
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
-            preferred_element_type=jnp.float32,
-        )
-        if attn_bias is not None:
-            s = scores.shape[-1]
-            if attn_bias.shape[-1] != s:  # pre-padded bias: use the S slice
-                attn_bias = attn_bias[:, :, :s, :s]
-            scores = scores + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        probs = dropout(
-            probs, cfg.attention_probs_dropout_prob, deterministic, rng_attn
-        )
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        )
+    if attn_bias is not None:
+        s = scores.shape[-1]
+        if attn_bias.shape[-1] != s:  # pre-padded bias: use the S slice
+            attn_bias = attn_bias[:, :, :s, :s]
+        scores = scores + attn_bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = dropout(
+        probs, cfg.attention_probs_dropout_prob, deterministic, rng_attn
+    )
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    )
     ctx = ctx.astype(hidden.dtype)
     b, h, s, _ = ctx.shape
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)

@@ -522,6 +522,324 @@ def _flash_packed_impl(q, k, v, bias, num_heads: int, block_q: int):
     return out[:, :s, :]
 
 
+# ---------------------------------------------------------------------------
+# packed-layout TRAINING kernels: fwd with lse + in-kernel dropout, fused bwd
+# ---------------------------------------------------------------------------
+
+def _packed_head_groups(num_heads: int, d: int) -> int:
+    """Heads per grid cell such that the lane slice width hp*d is a
+    128-multiple (Mosaic dynamic-lane-offset rule); falls back to one group
+    (static full-width slice) when no divisor aligns."""
+    hp = num_heads
+    if 128 % d == 0:
+        cand = 128 // d
+        while cand < num_heads and num_heads % cand:
+            cand *= 2
+        hp = min(cand, num_heads)
+    return hp
+
+
+def _packed_cols(ref, width: int):
+    if width == ref.shape[-1]:
+        return slice(None)
+    return pl.ds(pl.program_id(2) * width, width)
+
+
+def _attn_fwd_packed_train_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
+    num_heads: int, block_q: int,
+):
+    """Packed-train forward: like the deterministic packed kernel plus the
+    (B, H, S, 1) logsumexp output and the in-kernel position-hash dropout.
+    The mask is a pure function of (seed, b*H+h, i, j) — identical to the
+    (B,H,S,D) kernels', so either pair regenerates the other's stream."""
+    b_idx = pl.program_id(0)
+    j = pl.program_id(1)
+    hg = pl.program_id(2)
+    width = heads_per_cell * head_dim
+    cols = _packed_cols(q_ref, width)
+    qg = q_ref[0, :, cols].astype(jnp.float32) * scale
+    kg = k_ref[0, :, cols].astype(jnp.float32)
+    vg = v_ref[0, :, cols]
+    outs = []
+    for e in range(heads_per_cell):
+        lo, hi = e * head_dim, (e + 1) * head_dim
+        s = jax.lax.dot_general(
+            qg[:, lo:hi], kg[:, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[0, e].astype(jnp.float32)           # (Bq, S)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / denom
+        if rate > 0.0:
+            bh = b_idx * num_heads + (hg * heads_per_cell + e)
+            p = p * _dropout_scale_tile(
+                seed_ref[0], bh, j * block_q, 0, p.shape, rate
+            )
+        outs.append(
+            jnp.dot(p.astype(vg.dtype), vg[:, lo:hi],
+                    preferred_element_type=jnp.float32)
+        )
+        lse_ref[0, e] = m + jnp.log(denom)               # (Bq, 1)
+    o_ref[0, :, cols] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _attn_bwd_packed_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dbias_ref, dk_ref, dv_ref,
+    *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
+    num_heads: int, block_q: int,
+):
+    """Packed-layout fused backward, grid (b, q-block, head-group).
+
+    All packed operands keep full contiguous rows VMEM-resident across the
+    innermost head dimension; dk/dv are f32 accumulators whose block index
+    is constant over (j, hg), so they live in VMEM for a whole batch-row
+    sweep and are written back once. One probability recompute per head
+    serves dq/dbias/dk/dv."""
+    b_idx = pl.program_id(0)
+    j = pl.program_id(1)
+    hg = pl.program_id(2)
+    width = heads_per_cell * head_dim
+    cols = _packed_cols(q_ref, width)
+    qg = q_ref[0, :, cols].astype(jnp.float32) * scale   # (Bq, hp*D)
+    kg = k_ref[0, :, cols].astype(jnp.float32)           # (S, hp*D)
+    vg = v_ref[0, :, cols].astype(jnp.float32)
+    dog = do_ref[0, :, cols].astype(jnp.float32)
+
+    @pl.when((j == 0) & (hg == 0))
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dq_parts = []
+    dk_parts = []
+    dv_parts = []
+    for e in range(heads_per_cell):
+        lo, hi = e * head_dim, (e + 1) * head_dim
+        q, k, v, do = qg[:, lo:hi], kg[:, lo:hi], vg[:, lo:hi], dog[:, lo:hi]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias_ref[0, e].astype(jnp.float32)            # (Bq, S)
+        p = jnp.exp(s - lse_ref[0, e])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            bh = b_idx * num_heads + (hg * heads_per_cell + e)
+            c = _dropout_scale_tile(
+                seed_ref[0], bh, j * block_q, 0, p.shape, rate
+            )
+            p_dropped = p * c
+            dp = dp * c
+        else:
+            p_dropped = p
+        ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
+        dbias_ref[0, e] = ds.astype(dbias_ref.dtype)
+        dq_parts.append(
+            jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        )
+        dk_parts.append(jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dv_parts.append(jax.lax.dot_general(
+            p_dropped, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    dq_ref[0, :, cols] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
+    dk_ref[0, :, cols] += jnp.concatenate(dk_parts, -1)
+    dv_ref[0, :, cols] += jnp.concatenate(dv_parts, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "rate")
+)
+def _flash_packed_train_fwd_impl(
+    q, k, v, bias, seed, num_heads: int, block_q: int, rate: float
+):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    hp = _packed_head_groups(num_heads, d)
+    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    while block_q > 8 and s_pad % block_q:
+        block_q //= 2
+    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    qp = _pad_to(q, 1, s_pad)
+    kp = _pad_to(k, 1, s_pad)
+    vp = _pad_to(v, 1, s_pad)
+    bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
+
+    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, j, hh: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j, hh: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _attn_fwd_packed_train_kernel, scale=1.0 / math.sqrt(d),
+            rate=rate, head_dim=d, heads_per_cell=hp, num_heads=num_heads,
+            block_q=block_q,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, s_pad, 1), jnp.float32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(b, s_pad // block_q, num_heads // hp),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+                row_spec, full_spec, full_spec,
+                pl.BlockSpec((1, hp, block_q, s_pad),
+                             lambda i, j, hh: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                row_spec,
+                pl.BlockSpec((1, hp, block_q, 1),
+                             lambda i, j, hh: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s_pad * s_pad * hd,
+            bytes_accessed=(
+                4 * b * s_pad * hd * qp.dtype.itemsize
+                + b * num_heads * s_pad * s_pad * bp.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+    )(seed, qp, kp, vp, bp)
+    return out[:, :s, :], lse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "rate")
+)
+def _flash_packed_bwd_impl(
+    q, k, v, bias, seed, o, lse, g, num_heads: int, block_q: int, rate: float
+):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    hp = _packed_head_groups(num_heads, d)
+    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    while block_q > 8 and s_pad % block_q:
+        block_q //= 2
+    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    qp = _pad_to(q, 1, s_pad)
+    kp = _pad_to(k, 1, s_pad)
+    vp = _pad_to(v, 1, s_pad)
+    gp = _pad_to(g, 1, s_pad)
+    op = _pad_to(o, 1, s_pad)
+    bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
+    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)  # (B, H, S_pad, 1)
+    # delta[b,h,i] = sum_d do * o over head h's feature slice — tiny tensor,
+    # computed in XLA from the PACKED arrays (no big transposes)
+    delta = (
+        (gp.astype(jnp.float32) * op.astype(jnp.float32))
+        .reshape(b, s_pad, num_heads, d)
+        .sum(-1)
+        .transpose(0, 2, 1)[..., None]
+    )  # (B, H, S_pad, 1)
+
+    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, j, hh: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j, hh: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, hp, block_q, 1),
+                            lambda i, j, hh: (i, hh, j, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
+                             lambda i, j, hh: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dbias, dk32, dv32 = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_packed_kernel, scale=1.0 / math.sqrt(d), rate=rate,
+            head_dim=d, heads_per_cell=hp, num_heads=num_heads,
+            block_q=block_q,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, s_pad, s_pad), bias.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(b, s_pad // block_q, num_heads // hp),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                row_spec,   # q rows
+                full_spec,  # k
+                full_spec,  # v
+                bias_spec,  # bias tile
+                row_spec,   # do rows
+                vec_spec,   # lse
+                vec_spec,   # delta
+            ],
+            out_specs=[
+                row_spec,   # dq (each head group writes its lane slice)
+                bias_spec,  # dbias
+                full_spec,  # dk accumulator (VMEM-resident per batch row)
+                full_spec,  # dv accumulator
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * s_pad * s_pad * hd,
+            bytes_accessed=(
+                6 * b * s_pad * hd * qp.dtype.itemsize
+                + 2 * b * num_heads * s_pad * s_pad * bp.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+    )(seed, qp, kp, vp, bp, gp, lsep, delta)
+    dq = dq[:, :s, :]
+    dk = dk32[:, :s, :].astype(k.dtype)
+    dv = dv32[:, :s, :].astype(v.dtype)
+    dbias = dbias[:, :, : bias.shape[2], : bias.shape[3]]
+    return dq, dk, dv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_packed_train(
+    q: jax.Array,      # (B, S, H*D)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,   # (B, H, S', S')
+    seed: jax.Array,   # (1,) int32
+    num_heads: int,
+    block_q: int = 256,
+    rate: float = 0.0,
+) -> jax.Array:
+    """Training twin of ``flash_attention_packed``: packed (B, S, hidden)
+    layout end-to-end, in-kernel position-hash dropout, and a packed fused
+    backward — no (B,H,S,D) transposes exist in the forward OR backward
+    program. The dropout mask function matches the (B,H,S,D) kernels', so
+    outputs/gradients are bit-comparable across the two formulations."""
+    out, _ = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return out
+
+
+def _packed_train_fwd(q, k, v, bias, seed, num_heads, block_q, rate):
+    out, lse = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+def _packed_train_bwd(num_heads, block_q, rate, residuals, g):
+    q, k, v, bias, seed, o, lse = residuals
+    dq, dk, dv, dbias = _flash_packed_bwd_impl(
+        q, k, v, bias, seed, o, lse, g, num_heads, block_q, rate
+    )
+    return dq, dk, dv, dbias, None
+
+
+flash_attention_packed_train.defvjp(_packed_train_fwd, _packed_train_bwd)
+
+
 def _packed_fwd(q, k, v, bias, num_heads, block_q):
     return _flash_packed_impl(q, k, v, bias, num_heads, block_q), (q, k, v, bias)
 

@@ -283,3 +283,70 @@ def test_packed_forward_prepadded_bias():
         fa.flash_attention_packed(qp, kp, vp, bias_wide, h, block_q=16)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_train_forward_matches_headform_kernel_with_dropout():
+    """The packed train kernel must reproduce the (B,H,S,D) kernel's output
+    BIT-comparably under dropout: both use the same position-hash mask
+    function of (seed, b*H+h, i, j)."""
+    rng = np.random.default_rng(21)
+    b, h, s, d = 2, 4, 32, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    seed = jnp.asarray([77], jnp.int32)
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    want = fa.flash_attention(
+        split(qp), split(kp), split(vp), bias, 16,
+        dropout_rate=0.25, dropout_seed=seed,
+    )
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(b, s, hd)
+    got = np.asarray(fa.flash_attention_packed_train(
+        qp, kp, vp, bias, seed, h, block_q=16, rate=0.25
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+def test_packed_train_grads_match_headform_kernel(rate):
+    """Packed fused backward == (B,H,S,D) fused backward for dq/dk/dv/dbias
+    (same recompute scheme, same dropout mask)."""
+    rng = np.random.default_rng(22)
+    b, h, s, d = 2, 4, 24, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    seed = jnp.asarray([5], jnp.int32)
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, s, hd)
+
+    def loss_packed(q, k, v, bias):
+        out = fa.flash_attention_packed_train(
+            q, k, v, bias, seed, h, block_q=8, rate=rate
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_headform(q, k, v, bias):
+        out = fa.flash_attention(
+            split(q), split(k), split(v), bias, 8,
+            dropout_rate=rate, dropout_seed=seed if rate else None,
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    gh = jax.grad(loss_headform, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    for a, b_ in zip(gp, gh):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
+        )
