@@ -24,13 +24,12 @@ from collections import OrderedDict
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
-import scipy.special
 
 from multi_modal_early_exit_tpu.data.datasets import DocClassificationDataset
 from multi_modal_early_exit_tpu.data.loader import iterate_batches
 from multi_modal_early_exit_tpu.evaluation.analysis import Analysis, calc_flops
-from multi_modal_early_exit_tpu.evaluation.calibration import TemperatureScaler
-from multi_modal_early_exit_tpu.evaluation.metrics import calc_metrics, ece_logits
+from multi_modal_early_exit_tpu.evaluation.calibration import calibrate_exit_logits
+from multi_modal_early_exit_tpu.evaluation.metrics import calc_metrics
 from multi_modal_early_exit_tpu.evaluation.policy import Policy
 from multi_modal_early_exit_tpu.evaluation.thresholds import (
     vectorized_global_sweep,
@@ -153,31 +152,10 @@ def calibrate(
                 config["calibration_metrics"] = cached["calibration_metrics"]
         return np.asarray(calibrated)
 
-    calibrated = np.zeros_like(test_logits)
-    temperatures, eces, accuracies, avg_conf = [], [], [], []
-    nr_exits = test_logits.shape[0]
-    for i in range(nr_exits):
-        scaler = TemperatureScaler()
-        scaler.fit(validation_references, validation_logits[i])
-        calibrated[i] = scaler.temperature_scale(test_logits[i])
-        # post-calibration metrics are computed on *validation* (the
-        # reference uses them to derive per-exit thresholds, EE/policy.py:71)
-        val_cal = scaler.temperature_scale(validation_logits[i])
-        eces.append(float(ece_logits(validation_references, val_cal)))
-        accuracies.append(
-            float(np.mean(val_cal.argmax(-1) == validation_references))
-        )
-        avg_conf.append(
-            float(scipy.special.softmax(val_cal, -1).max(-1).mean())
-        )
-        temperatures.append(float(scaler.temperature))
-
-    config["calibration_metrics"] = {
-        "ece": eces,
-        "accuracy": accuracies,
-        "temperature": temperatures,
-        "average_confidence": avg_conf,
-    }
+    calibrated, metrics = calibrate_exit_logits(
+        validation_logits, validation_references, test_logits
+    )
+    config["calibration_metrics"] = metrics
     dump_logits(calibrated, None, config, name="calibrated", root=root)
     return calibrated
 

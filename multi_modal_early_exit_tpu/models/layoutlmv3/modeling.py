@@ -384,7 +384,6 @@ def attention_apply(
     d = cfg.head_dim
 
     from multi_modal_early_exit_tpu.ops.flash_attention import (
-        flash_attention,
         flash_attention_packed,
         flash_attention_packed_train,
         use_flash_attention,
@@ -452,7 +451,6 @@ def attention_apply(
     # XLA composition (non-flash backends and head-mismatched biases; the
     # `flash_attention` (B,H,S,D) kernel pair remains available for direct
     # callers, e.g. parallel.kernels.sharded_flash_attention)
-    del flash_attention
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q / math.sqrt(d), k,
         preferred_element_type=jnp.float32,

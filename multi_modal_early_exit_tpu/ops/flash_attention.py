@@ -11,17 +11,16 @@ is ~100 KB — comfortably VMEM-resident), and the bias tile, computes the
 softmax in fp32 on-chip, and writes only the (Bq, D) output plus a (Bq,)
 logsumexp row statistic.
 
-The backward is two Pallas kernels (standard flash recompute scheme — no
-(B,H,S,S) probability tensor ever touches HBM; the only S×S HBM tensors in
-the whole fwd+bwd are the bias read and the dbias write, which the model
-genuinely needs because the relative-position bucket tables are trained —
-reference training hot loop: EE/models/EE_modules.py:344-377):
-
-- dq/dbias kernel, grid (B, H, S/block_q): recomputes the probability tile
-  from the saved logsumexp, forms dS on-chip, emits dq and the dS tile
-  (which IS dbias).
-- dk/dv kernel, grid (B, H, S/block_k): same recompute over column tiles,
-  emits dk and dv.
+The backward is ONE fused Pallas kernel per layout (standard flash
+recompute scheme — no (B,H,S,S) probability tensor ever touches HBM; the
+only S×S HBM tensors in the whole fwd+bwd are the bias read and the dbias
+write, which the model genuinely needs because the relative-position
+bucket tables are trained — reference training hot loop:
+EE/models/EE_modules.py:344-377): grid (B, H, S/block_q), recomputing the
+probability tile from the saved logsumexp, forming dS on-chip, emitting dq
+and the dS tile (which IS dbias) per cell, and accumulating dk/dv in
+VMEM-resident f32 output blocks whose index is constant over the q-block
+axis (so they never round-trip to HBM between grid steps).
 
 Attention-probability dropout (the reference trains with
 attention_probs_dropout_prob > 0) runs *inside* the kernel using a
@@ -109,6 +108,26 @@ def _pad_to(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _tile_width(s: int, bias_width: int, block_q: int) -> tuple[int, int]:
+    """Padded sequence width and q-block size such that the block tiles it.
+
+    A pre-padded (wider) bias fixes the compute width; the q-block must
+    tile it exactly, so shrink the block until it divides (a model-level
+    pre-pad is a multiple of 128, the floor). Shared by the forward and
+    backward impls so a custom-vjp pair always agrees on the layout.
+    """
+    s_pad = max(-(-s // block_q) * block_q, bias_width)
+    while block_q > 8 and s_pad % block_q:
+        block_q //= 2
+    s_pad = max(-(-s // block_q) * block_q, bias_width)
+    if s_pad % block_q:
+        raise ValueError(
+            f"pre-padded bias width {bias_width} does not tile by any "
+            f"q-block size >= 8"
+        )
+    return s_pad, block_q
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "rate", "with_lse")
 )
@@ -117,7 +136,7 @@ def _flash_attention_fwd_impl(
 ):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    s_pad = -(-s // block_q) * block_q
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
 
     # operate on the (B, H, S, D)/(B, H, S, S) layouts directly — no
     # flattening reshapes (a reshape before pallas_call forces an HBM copy
@@ -246,7 +265,7 @@ def _flash_attention_bwd_impl(
 ):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    s_pad = -(-s // block_q) * block_q
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
 
     qp = _pad_to(q, 2, s_pad)
     kp = _pad_to(k, 2, s_pad)
@@ -450,7 +469,8 @@ def flash_attention_packed(
     them (profiled at ~25% of a cascade encoder layer), and runs 256-row
     q-blocks (fewer grid cells, bigger bias DMAs): together 980 -> 1236
     docs/sec on the cascade benchmark. No dropout (deterministic paths
-    only; training's stochastic path uses ``flash_attention``). Still
+    only; training's stochastic path uses
+    ``flash_attention_packed_train``). Still
     differentiable — the VJP recomputes through the (B,H,S,D) backward
     kernels, so grad-of-eval-mode callers work.
     """
@@ -471,18 +491,7 @@ def _flash_packed_impl(q, k, v, bias, num_heads: int, block_q: int):
         while cand < num_heads and num_heads % cand:
             cand *= 2
         hp = min(cand, num_heads)
-    # a pre-padded (wider) bias fixes the compute width; the q-block must
-    # tile it exactly, so shrink the block until it divides (a model-level
-    # pre-pad is a multiple of 128, the floor)
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
-    while block_q > 8 and s_pad % block_q:
-        block_q //= 2
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
-    if s_pad % block_q:
-        raise ValueError(
-            f"pre-padded bias width {bias.shape[-1]} does not tile by any "
-            f"q-block size >= 8"
-        )
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
     qp = _pad_to(q, 1, s_pad)
     kp = _pad_to(k, 1, s_pad)
     vp = _pad_to(v, 1, s_pad)
@@ -663,10 +672,7 @@ def _flash_packed_train_fwd_impl(
     b, s, hd = q.shape
     d = hd // num_heads
     hp = _packed_head_groups(num_heads, d)
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
-    while block_q > 8 and s_pad % block_q:
-        block_q //= 2
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
     qp = _pad_to(q, 1, s_pad)
     kp = _pad_to(k, 1, s_pad)
     vp = _pad_to(v, 1, s_pad)
@@ -723,10 +729,7 @@ def _flash_packed_bwd_impl(
     b, s, hd = q.shape
     d = hd // num_heads
     hp = _packed_head_groups(num_heads, d)
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
-    while block_q > 8 and s_pad % block_q:
-        block_q //= 2
-    s_pad = max(-(-s // block_q) * block_q, bias.shape[-1])
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
     qp = _pad_to(q, 1, s_pad)
     kp = _pad_to(k, 1, s_pad)
     vp = _pad_to(v, 1, s_pad)

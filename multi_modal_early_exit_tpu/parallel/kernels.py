@@ -35,10 +35,14 @@ def sharded_flash_attention(
     """flash_attention with batch sharded on the data axis and heads on the
     model axis. Requires B % data_size == 0 and H % model_size == 0.
 
-    Note: with ``dropout_rate > 0`` the position-hash mask is seeded with
-    per-shard LOCAL (batch, head) indices — statistically identical but not
-    bitwise-equal to the unsharded kernel's mask. The serving path always
-    runs deterministic (rate 0), where outputs are exactly equal.
+    Note: with ``dropout_rate > 0`` the position-hash mask hashes per-shard
+    LOCAL (batch, head) indices, so each shard's kernel is offset to a
+    distinct seed (base seed + linear shard index) — otherwise corresponding
+    local rows on different data shards would draw bit-identical masks
+    (correlated dropout across samples). The result is statistically
+    identical but not bitwise-equal to the unsharded kernel's mask. The
+    serving path always runs deterministic (rate 0), where outputs are
+    exactly equal.
     """
     from multi_modal_early_exit_tpu.ops.flash_attention import (
         DEFAULT_BLOCK_Q,
@@ -56,14 +60,22 @@ def sharded_flash_attention(
     spec = P(DATA_AXIS, MODEL_AXIS, None, None)
     seed_spec = P()
 
+    import jax.numpy as jnp
+
     def local(q, k, v, bias, seed):
+        if dropout_rate > 0.0:
+            # decorrelate shards: the kernel hashes (seed, local b, h, i, j)
+            di = (jax.lax.axis_index(DATA_AXIS) if DATA_AXIS in mesh.shape
+                  else 0)
+            mi = (jax.lax.axis_index(MODEL_AXIS) if MODEL_AXIS in mesh.shape
+                  else 0)
+            shard = jnp.asarray(di * model + mi, jnp.int32)
+            seed = seed + shard * jnp.int32(1000003)  # int32 wrap is fine
         return flash_attention(
             q, k, v, bias, block_q,
             dropout_rate=dropout_rate,
             dropout_seed=seed if dropout_rate > 0.0 else None,
         )
-
-    import jax.numpy as jnp
 
     seed = (
         jnp.zeros((1,), jnp.int32) if dropout_seed is None

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def jax_params_to_torch_state_dict(params, cfg, num_labels: int):
+def jax_params_to_torch_state_dict(params, cfg):
     """Inverse of convert.convert_torch_state_dict (prefix='layoutlmv3.')."""
     import torch
 
@@ -65,7 +65,6 @@ def jax_params_to_torch_state_dict(params, cfg, num_labels: int):
     enc = params["encoder"]
     for i in range(cfg.num_hidden_layers):
         lp = f"{pre}encoder.layer.{i}."
-        layer = {k: np.asarray(v) for k, v in _flatten_layer(enc["layers"], i)}
         put_linear(f"{lp}attention.self.query", _slice(enc["layers"]["attention"]["query"], i))
         put_linear(f"{lp}attention.self.key", _slice(enc["layers"]["attention"]["key"], i))
         put_linear(f"{lp}attention.self.value", _slice(enc["layers"]["attention"]["value"], i))
@@ -75,7 +74,6 @@ def jax_params_to_torch_state_dict(params, cfg, num_labels: int):
         put_linear(f"{lp}intermediate.dense", _slice(enc["layers"]["intermediate"], i))
         put_linear(f"{lp}output.dense", _slice(enc["layers"]["output"], i))
         put_ln(f"{lp}output.LayerNorm", _slice(enc["layers"]["output_LayerNorm"], i))
-        del layer
     sd[f"{pre}encoder.rel_pos_bias.weight"] = t(np.asarray(enc["rel_pos_bias"]).T)
     sd[f"{pre}encoder.rel_pos_x_bias.weight"] = t(np.asarray(enc["rel_pos_x_bias"]).T)
     sd[f"{pre}encoder.rel_pos_y_bias.weight"] = t(np.asarray(enc["rel_pos_y_bias"]).T)
@@ -87,10 +85,6 @@ def jax_params_to_torch_state_dict(params, cfg, num_labels: int):
 
 def _slice(tree, i):
     return {k: np.asarray(v)[i] for k, v in tree.items()}
-
-
-def _flatten_layer(layers, i):
-    return []
 
 
 def main():
@@ -136,7 +130,7 @@ def main():
     )
     torch.manual_seed(0)
     model = LayoutLMv3ForSequenceClassification(hf_conf).eval()
-    sd = jax_params_to_torch_state_dict(params, cfg, cfg.num_labels)
+    sd = jax_params_to_torch_state_dict(params, cfg)
     missing, unexpected = model.load_state_dict(sd, strict=False)
     # only buffers (position_ids etc.) may be missing
     real_missing = [m for m in missing if not m.endswith("position_ids")]

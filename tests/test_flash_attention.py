@@ -350,3 +350,91 @@ def test_packed_train_grads_match_headform_kernel(rate):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
         )
+
+
+def test_flash_gradients_bias_wider_than_block_pad():
+    """Regression: bias pre-padded WIDER than ceil(S/block_q)*block_q — the
+    backward must return dbias at the bias's full (pre-padded) shape, not at
+    the smaller q-block padding (previously a cotangent shape mismatch)."""
+    rng = np.random.default_rng(31)
+    b, h, s, d, blk, wide = 1, 2, 11, 8, 8, 32
+    q, k, v, bias = _rand_qkvb(rng, b, h, s, d)
+    pre = jnp.full((b, h, wide, wide), -1e30)
+    pre = pre.at[:, :, :s, :s].set(bias)
+
+    g_pre = jax.grad(
+        lambda q, k, v, bb: fa.flash_attention(q, k, v, bb, blk).sum(),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, pre)
+    g_ref = jax.grad(
+        lambda q, k, v, bb: fa.reference_attention(q, k, v, bb).sum(),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    assert g_pre[3].shape == pre.shape
+    np.testing.assert_allclose(
+        np.asarray(g_pre[3][:, :, :s, :s]), np.asarray(g_ref[3]),
+        atol=3e-5, rtol=1e-4,
+    )
+    assert np.all(np.asarray(g_pre[3][:, :, s:, :]) == 0)
+    for a, b_ in zip(g_pre[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_packed_train_grads_with_prepadded_bias():
+    """Same regression for the packed train pair: pre-padded bias wider than
+    the q-block padding must round-trip dbias at the bias shape."""
+    rng = np.random.default_rng(32)
+    b, h, s, d, wide = 1, 2, 11, 16, 32
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    seed = jnp.asarray([9], jnp.int32)
+    pre = jnp.full((b, h, wide, wide), -1e30)
+    pre = pre.at[:, :, :s, :s].set(bias)
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def loss_packed(q, k, v, bb):
+        out = fa.flash_attention_packed_train(
+            q, k, v, bb, seed, h, block_q=8, rate=0.0
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v, bb):
+        out = fa.reference_attention(split(q), split(k), split(v), bb)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(qp, kp, vp, pre)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    assert gp[3].shape == pre.shape
+    np.testing.assert_allclose(
+        np.asarray(gp[3][:, :, :s, :s]), np.asarray(gr[3]),
+        atol=5e-4, rtol=5e-4,
+    )
+    assert np.all(np.asarray(gp[3][:, :, s:, :]) == 0)
+    for a, b_ in zip(gp[:3], gr[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_packed_train_raises_on_untileable_bias():
+    """The train pair must reject a pre-padded width no q-block >= 8 tiles
+    (the deterministic twin already did; previously the train pair silently
+    floor-truncated the grid, leaving garbage dbias tail rows)."""
+    rng = np.random.default_rng(33)
+    b, h, s, d = 1, 2, 11, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.full((b, h, 100, 100), 0.0, jnp.float32)  # 100 has no 2^k
+    seed = jnp.asarray([1], jnp.int32)                   # divisor chain >= 8
+    with pytest.raises(ValueError, match="does not tile"):
+        fa.flash_attention_packed_train(
+            qp, kp, vp, bias, seed, h, block_q=48, rate=0.25
+        )

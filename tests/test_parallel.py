@@ -209,3 +209,36 @@ def test_cascade_under_dp_mesh_matches_single_device():
         np.asarray(sharded.logits), np.asarray(single.logits),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_sharded_flash_attention_dropout_decorrelated_across_shards():
+    """With dropout on, each shard's kernel hashes LOCAL (batch, head)
+    indices — the wrapper must offset the seed per shard, or identical rows
+    placed on different data shards would draw bit-identical masks."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multi_modal_early_exit_tpu.parallel.kernels import (
+        sharded_flash_attention,
+    )
+
+    mesh = create_mesh((4, 2))
+    rng = np.random.default_rng(7)
+    h, s, d = 2, 16, 8
+    # one row, replicated to every shard: without decorrelation all four
+    # outputs would be bitwise identical
+    row_q = rng.standard_normal((1, h, s, d))
+    row_k = rng.standard_normal((1, h, s, d))
+    row_v = rng.standard_normal((1, h, s, d))
+    row_b = rng.standard_normal((1, h, s, s))
+    q = jnp.asarray(np.repeat(row_q, 4, axis=0), jnp.float32)
+    k = jnp.asarray(np.repeat(row_k, 4, axis=0), jnp.float32)
+    v = jnp.asarray(np.repeat(row_v, 4, axis=0), jnp.float32)
+    bias = jnp.asarray(np.repeat(row_b, 4, axis=0), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sharded_flash_attention(
+            mesh, q, k, v, bias, block_q=16,
+            dropout_rate=0.5, dropout_seed=jnp.asarray([3], jnp.int32),
+        ))
+    for i in range(1, 4):
+        assert not np.array_equal(out[0], out[i]), f"shard {i} mask reused"
