@@ -78,8 +78,14 @@ class EarlyExitInference(Enhnum):
 
     MAX_CONFIDENCE = "max_confidence"  # exit when max softmax prob > threshold
     ENTROPY = "entropy"  # exit when predictive entropy < threshold
-    PATIENCE = "patience"  # exit when prediction unchanged for t exits
+    PATIENCE = "patience"  # exit when prediction unchanged for t exits (PABEE)
     LTE = "lte"  # learning-to-exit regressor score < per-exit threshold
+
+    @property
+    def is_stateful(self) -> bool:
+        """Patience is stateful across exits: its criterion function takes
+        the whole (E, B, K) prediction-logit store, not one exit's logits."""
+        return self == EarlyExitInference.PATIENCE
 
     def get_function(self) -> Callable:
         from multi_modal_early_exit_tpu.ops import criteria
@@ -90,6 +96,8 @@ class EarlyExitInference(Enhnum):
             return criteria.entropy
         if self == EarlyExitInference.LTE:
             return criteria.lte
+        if self == EarlyExitInference.PATIENCE:
+            return criteria.patience_counts
         raise NotImplementedError(f"{self} not implemented")
 
     def get_sign(self) -> Callable:
@@ -98,6 +106,8 @@ class EarlyExitInference(Enhnum):
             return operator.gt  # higher is better
         if self in (EarlyExitInference.ENTROPY, EarlyExitInference.LTE):
             return operator.lt  # lower is better
+        if self == EarlyExitInference.PATIENCE:
+            return operator.ge  # count of consecutive agreements reaches t
         raise NotImplementedError(f"{self} not implemented")
 
 

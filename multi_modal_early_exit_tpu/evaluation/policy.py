@@ -73,6 +73,27 @@ class Policy:
         dist = exit_distribution_of(exits_store, self.logits.shape[0])
         return exits_store, predictions, dist
 
+    def patience_policy(self):
+        """PABEE prediction-stability policy over the dumped store: first
+        exit where the top-1 prediction has been unchanged for
+        ``exit_threshold`` consecutive exits, else the final row.
+
+        The reference names this criterion with a PABEE citation but raises
+        NotImplementedError (EE/models/EE_modules.py:116-146); semantics here
+        follow the paper (Zhou et al. 2020, arXiv:2006.04152).
+        """
+        t = self.config["exit_threshold"]
+        preds = np.argmax(self.logits, axis=-1)  # (E+1, N)
+        counts = np.zeros(preds.shape, np.int64)
+        for j in range(1, preds.shape[0]):
+            counts[j] = np.where(preds[j] == preds[j - 1], counts[j - 1] + 1, 0)
+        passed = counts >= t
+        passed[-1] = True
+        exits_store = np.argmax(passed, axis=0).astype(np.int32)
+        predictions = self.logits[exits_store, np.arange(self.logits.shape[1])]
+        dist = exit_distribution_of(exits_store, self.logits.shape[0])
+        return exits_store, predictions, dist
+
     def accuracy_calibration_heuristic(self):
         """Per-exit thresholds derived from calibration metrics
         (EE/policy.py:55-111): 1 - accuracy/ece per exit, min-max normalized

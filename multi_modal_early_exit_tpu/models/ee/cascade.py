@@ -95,11 +95,20 @@ def make_cascade_forward(
     cfg: EEModelConfig,
     capacities: Sequence[int],
     threshold: Optional[float] = None,
+    temperatures: Optional[Sequence[float]] = None,
 ):
     """Build the jittable single-program cascade.
 
     ``capacities[i]`` is the static row count of encoder stage i (stages are
     split at the encoder exits, last stage runs to the final classifier).
+
+    ``temperatures`` (optional, length num_exits + 1) applies per-exit
+    temperature scaling *to the exit criterion only*: criterion j is
+    computed on ``head_out / T_j`` — the live counterpart of running the
+    offline policy on a temperature-calibrated logit store
+    (EE/generic_scaling.py + EE/eval.py:311-341).  Predictions are
+    unaffected (scaling preserves argmax).  Ignored for patience/LTE, whose
+    criteria are not softmax-confidence based.
     """
     exit_cfg = cfg.exit
     bb_cfg = cfg.backbone
@@ -107,6 +116,21 @@ def make_cascade_forward(
     sign = exit_cfg.inference_strategy.get_sign()
     crit_fn = exit_cfg.inference_strategy.get_function()
     use_lte = exit_cfg.inference_strategy == EarlyExitInference.LTE
+    # patience (PABEE) is stateful: the criterion is a consecutive-agreement
+    # counter carried across exits, not a pointwise function of one exit's
+    # logits — the cascade carries (prev_pred, count) per sample instead of
+    # calling crit_fn
+    use_patience = exit_cfg.inference_strategy == EarlyExitInference.PATIENCE
+    order_len = len(canonical_exit_order(exit_cfg))
+    if temperatures is not None:
+        if len(temperatures) != order_len + 1:
+            raise ValueError(
+                f"need {order_len + 1} temperatures (one per exit + final), "
+                f"got {len(temperatures)}"
+            )
+        temps = tuple(float(t) for t in temperatures)
+    else:
+        temps = (1.0,) * (order_len + 1)
     order = canonical_exit_order(exit_cfg)
     emb_exits = [e for e in order if isinstance(e, str)]
     enc_exits = [e for e in order if isinstance(e, int)]
@@ -167,6 +191,9 @@ def make_cascade_forward(
         exit_ids = jnp.full((B,), E, jnp.int32)
         running = jnp.ones((B,), bool)
         last_crit = jnp.zeros((B,), jnp.float32)
+        # patience carry: top-1 prediction at the previous exit (-1 = none
+        # yet); the agreement count itself lives in last_crit
+        prev_pred = jnp.full((B,), -1, jnp.int32)
 
         for j, name in enumerate(emb_exits):
             if name == "vision_avg":
@@ -192,8 +219,12 @@ def make_cascade_forward(
                     if name == "text_visual_concat"
                     else jnp.full((B,), jnp.inf, jnp.float32)
                 )
+            elif use_patience:
+                pred_j = jnp.argmax(logits_j, axis=-1).astype(jnp.int32)
+                crit_j = jnp.where(pred_j == prev_pred, last_crit + 1.0, 0.0)
+                prev_pred = jnp.where(running, pred_j, prev_pred)
             else:
-                crit_j = crit_fn(head_out)
+                crit_j = crit_fn(head_out / temps[j])
             exits_now = running & sign(crit_j, thr)
             out_logits = jnp.where(exits_now[:, None], logits_j, out_logits)
             exit_ids = jnp.where(exits_now, j, exit_ids)
@@ -294,7 +325,10 @@ def make_cascade_forward(
                 logits_c = classifier_apply(
                     params["backbone"]["classifier"], bb_cfg, hidden_c[:, 0, :]
                 ).astype(jnp.float32)
-                crit_c = crit_fn(logits_c)
+                crit_c = (
+                    jnp.zeros((c,), jnp.float32) if use_patience
+                    else crit_fn(logits_c / temps[order_len])
+                )
             else:
                 head = jax.tree.map(
                     lambda x: x[stage_idx], params["encoder_exits"]
@@ -309,13 +343,20 @@ def make_cascade_forward(
                     ).astype(jnp.float32)
                 else:
                     logits_c = head_out
-                crit_c = (
-                    lte_head_apply(
+                if use_lte:
+                    crit_c = lte_head_apply(
                         params["lte"], hidden_c[:, 0, :]
                     ).astype(jnp.float32)
-                    if use_lte
-                    else crit_fn(head_out)
-                )
+                elif use_patience:
+                    pred_c = jnp.argmax(logits_c, axis=-1).astype(jnp.int32)
+                    crit_c = jnp.where(
+                        pred_c == jnp.take(prev_pred, sel),
+                        jnp.take(last_crit, sel) + 1.0,
+                        0.0,
+                    )
+                    prev_pred = prev_pred.at[sel].set(pred_c)
+                else:
+                    crit_c = crit_fn(head_out / temps[n_emb + stage_idx])
 
             # scatter stage results back to batch rows
             sel_running = jnp.take(running, sel)  # selected rows still running

@@ -92,6 +92,12 @@ class AnytimeEngine:
         self._use_lte = (
             cfg.exit.inference_strategy == EarlyExitInference.LTE
         )
+        # patience (PABEE) is stateful across exits: the host orchestration
+        # maintains (prev_pred, count) per sample and the jitted stages skip
+        # the pointwise criterion
+        self._use_patience = (
+            cfg.exit.inference_strategy == EarlyExitInference.PATIENCE
+        )
         if self._use_lte and "lte" not in params:
             raise ValueError("LTE inference requires lte head params")
         self.buckets = _bucket_sizes(max_batch, min_bucket)
@@ -175,6 +181,9 @@ class AnytimeEngine:
                     emb_crit.append(lte_head_apply(params["lte"], x))
                 else:
                     emb_crit.append(jnp.full((b,), jnp.inf))
+            elif self._use_patience:
+                # criterion computed host-side from the prediction logits
+                emb_crit.append(jnp.zeros((b,)))
             else:
                 emb_crit.append(self.crit_fn(head_out))
         if emb_logits:
@@ -207,7 +216,10 @@ class AnytimeEngine:
             logits = classifier_apply(
                 params["backbone"]["classifier"], cfg, hidden[:, 0, :]
             )
-            crit = self.crit_fn(logits)
+            crit = (
+                jnp.zeros(logits.shape[:1]) if self._use_patience
+                else self.crit_fn(logits)
+            )
         else:
             head = jax.tree.map(
                 lambda x: x[stage_idx], params["encoder_exits"]
@@ -225,6 +237,8 @@ class AnytimeEngine:
                 )
 
                 crit = lte_head_apply(params["lte"], hidden[:, 0, :])
+            elif self._use_patience:
+                crit = jnp.zeros(logits.shape[:1])
             else:
                 crit = self.crit_fn(head_out)
         return hidden, logits, crit
@@ -271,13 +285,25 @@ class AnytimeEngine:
         emb_crit_h = np.asarray(emb_crit)
 
         alive = np.arange(B)
+        # patience carry: previous top-1 prediction (-1 = none yet) and the
+        # consecutive-agreement count per sample (PABEE)
+        prev_pred = np.full(B, -1, np.int64)
+        count = np.zeros(B, np.float64)
         # embedding exits decide in canonical order
         for j, name in enumerate(self.emb_exits):
             if store is not None:
                 store[j] = emb_logits_h[j]
             if len(alive) == 0:
                 continue
-            passed = self.sign(emb_crit_h[j][alive], self.threshold)
+            if self._use_patience:
+                preds = emb_logits_h[j][alive].argmax(-1)
+                count[alive] = np.where(
+                    preds == prev_pred[alive], count[alive] + 1, 0
+                )
+                prev_pred[alive] = preds
+                passed = count[alive] >= self.threshold
+            else:
+                passed = self.sign(emb_crit_h[j][alive], self.threshold)
             exiting = alive[passed]
             out_logits[exiting] = emb_logits_h[j][exiting]
             out_exit[exiting] = j
@@ -314,6 +340,19 @@ class AnytimeEngine:
                 out_logits[run_idx[final_rows]] = logits_h[final_rows]
                 out_exit[run_idx[final_rows]] = E
                 alive = np.asarray([], np.int64)
+            elif self._use_patience:
+                am_idx = run_idx[alive_mask]
+                preds = logits_h[alive_mask].argmax(-1)
+                count[am_idx] = np.where(
+                    preds == prev_pred[am_idx], count[am_idx] + 1, 0
+                )
+                prev_pred[am_idx] = preds
+                passed = np.zeros(len(run_idx), bool)
+                passed[alive_mask] = count[am_idx] >= self.threshold
+                exiting = run_idx[passed]
+                out_logits[exiting] = logits_h[passed]
+                out_exit[exiting] = exit_pos
+                alive = np.setdiff1d(alive, exiting, assume_unique=True)
             else:
                 passed = self.sign(crit_h, self.threshold) & alive_mask
                 exiting = run_idx[passed]

@@ -219,7 +219,18 @@ def ee_forward(
     # exit criteria on head outputs + final logits (reference computes these
     # only at eval; here they are cheap enough to always emit)
     crit_fn = exit_cfg.inference_strategy.get_function()
-    if exit_cfg.inference_strategy == EarlyExitInference.LTE and lte_scores is not None:
+    if exit_cfg.inference_strategy == EarlyExitInference.PATIENCE:
+        # stateful PABEE criterion: consecutive-agreement counts over the
+        # prediction-logit store (gated logits under gating, else ramp
+        # logits, final classifier last — the policy_logits contract)
+        per_exit = gated_logits if gated_logits is not None else exit_logits
+        store = (
+            jnp.concatenate([per_exit, final_logits[None]], axis=0)
+            if per_exit.shape[0]
+            else final_logits[None]
+        )
+        exit_criteria = crit_fn(store)
+    elif exit_cfg.inference_strategy == EarlyExitInference.LTE and lte_scores is not None:
         pad = exit_logits.shape[0] - lte_scores.shape[0]
         crit = jnp.concatenate(
             [jnp.full((pad, final_logits.shape[0]), jnp.inf), lte_scores], axis=0

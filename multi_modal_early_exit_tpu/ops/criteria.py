@@ -40,3 +40,30 @@ def lte(x: jax.Array) -> jax.Array:
     score separately and threads it through as the criterion value.
     """
     return x
+
+
+def patience_counts(logit_store: jax.Array) -> jax.Array:
+    """PABEE patience criterion over a per-exit logit store.
+
+    The reference names this criterion with a PABEE citation but raises
+    NotImplementedError (EE/models/EE_modules.py:116-146).  Implemented here
+    per the paper (Zhou et al. 2020, arXiv:2006.04152): a counter of
+    consecutive exits whose top-1 prediction is unchanged; a sample exits
+    when the counter reaches the patience threshold ``t`` (sign is ``>=``).
+
+    Unlike ``entropy``/``max_confidence`` this criterion is *stateful across
+    exits*, so it takes the whole ``(E, B, K)`` prediction-logit store along
+    axis 0 and returns ``(E, B)`` counts: ``counts[0] = 0``;
+    ``counts[j] = counts[j-1] + 1`` if ``argmax`` at exit j equals exit j-1,
+    else 0.
+    """
+    preds = jnp.argmax(logit_store.astype(jnp.float32), axis=-1)  # (E, B)
+    same = preds[1:] == preds[:-1]
+    c0 = jnp.zeros(preds.shape[1:], jnp.float32)
+
+    def body(c, s):
+        c = jnp.where(s, c + 1.0, 0.0)
+        return c, c
+
+    _, counts = jax.lax.scan(body, c0, same)
+    return jnp.concatenate([c0[None], counts], axis=0)
