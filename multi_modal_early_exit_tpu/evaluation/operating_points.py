@@ -1,0 +1,133 @@
+"""Derive serving operating points from a validation logit store.
+
+The reference's headline artifact is the accuracy-vs-compute curve swept
+offline over thresholds (EE/eval.py:62-84, EE/thresh.py:228-302).  This
+module closes the loop for *live* serving: given a (calibrated) validation
+logit store it picks, per accuracy budget, the threshold with the smallest
+average exit depth whose validation accuracy stays within the budget of the
+full-depth accuracy, and converts that threshold's validation exit
+distribution into static per-stage cascade capacities
+(``capacities_from_distribution``).  bench.py's anytime mode uses this to
+report measured docs/sec at policy-derived — not hand-picked — operating
+points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multi_modal_early_exit_tpu.evaluation.policy import (
+    _scan,
+    exit_distribution_of,
+)
+from multi_modal_early_exit_tpu.models.ee.cascade import (
+    capacities_from_distribution,
+)
+
+
+@dataclasses.dataclass
+class OperatingPoint:
+    """One serving configuration derived from validation statistics."""
+
+    name: str  # e.g. "iso" (accuracy == full-depth - eps)
+    threshold: float
+    accuracy_drop_budget: float
+    val_accuracy: float
+    val_full_accuracy: float
+    val_average_exit: float
+    exit_distribution: Dict[int, float]
+    capacities: Tuple[int, ...]
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["capacities"] = list(self.capacities)
+        d["exit_distribution"] = {
+            str(k): round(v, 4) for k, v in self.exit_distribution.items()
+        }
+        for k in ("val_accuracy", "val_full_accuracy", "val_average_exit"):
+            d[k] = round(d[k], 4)
+        return d
+
+
+def sweep_thresholds(
+    store: np.ndarray, labels: np.ndarray, grid: Sequence[float]
+) -> list:
+    """(threshold, accuracy, average_exit, distribution) per grid point,
+    using the exact offline policy scan (first exit with MSP > t)."""
+    labels = np.asarray(labels)
+    out = []
+    for t in grid:
+        exits, preds = _scan(store, np.full(1, float(t)))
+        acc = float(np.mean(preds.argmax(-1) == labels))
+        out.append(
+            (
+                float(t),
+                acc,
+                float(np.mean(exits)),
+                exit_distribution_of(exits, store.shape[0]),
+            )
+        )
+    return out
+
+
+def select_operating_points(
+    store: np.ndarray,
+    labels: np.ndarray,
+    n_emb: int,
+    n_stages: int,
+    batch: int,
+    accuracy_drops: Sequence[Tuple[str, float]] = (
+        ("iso", 0.0),
+        ("fast", 0.02),
+    ),
+    threshold_grid: Optional[Sequence[float]] = None,
+    margin: float = 1.25,
+    multiple: int = 8,
+) -> list:
+    """Pick one OperatingPoint per accuracy budget.
+
+    ``store`` is the (E+1, N, K) validation logit store — calibrated if the
+    serving path applies temperatures.  For each ``(name, eps)`` the point
+    with the smallest validation average exit subject to
+    ``accuracy >= full_depth_accuracy - eps`` is chosen (the full-depth row
+    itself always qualifies, so a point always exists).
+    """
+    store = np.asarray(store)
+    labels = np.asarray(labels)
+    if threshold_grid is None:
+        # the reference's canonical sweep (full_test.sh: 0.05 .. 1 step 0.05)
+        # plus a finer band near the top where MSP mass concentrates
+        threshold_grid = sorted(
+            set(np.round(np.arange(0.05, 1.0, 0.05), 4))
+            | set(np.round(np.arange(0.90, 1.0, 0.01), 4))
+        )
+    full_acc = float(np.mean(store[-1].argmax(-1) == labels))
+    swept = sweep_thresholds(store, labels, threshold_grid)
+
+    points = []
+    for name, eps in accuracy_drops:
+        ok = [s for s in swept if s[1] >= full_acc - eps]
+        if ok:
+            t, acc, avg_exit, dist = min(ok, key=lambda s: (s[2], s[0]))
+        else:  # nothing qualifies: serve full depth (threshold > 1 never exits)
+            t, acc, avg_exit = 1.01, full_acc, float(store.shape[0] - 1)
+            dist = {store.shape[0] - 1: 1.0}
+        points.append(
+            OperatingPoint(
+                name=name,
+                threshold=t,
+                accuracy_drop_budget=float(eps),
+                val_accuracy=acc,
+                val_full_accuracy=full_acc,
+                val_average_exit=avg_exit,
+                exit_distribution=dist,
+                capacities=capacities_from_distribution(
+                    dist, batch, n_emb, n_stages, margin=margin,
+                    multiple=multiple,
+                ),
+            )
+        )
+    return points

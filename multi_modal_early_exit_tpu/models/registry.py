@@ -191,6 +191,20 @@ def build_model(
     exit_cfg = cfg.exit_config() if hasattr(cfg, "exit_config") else ExitConfig()
     if name == "LTElayoutlmv3":
         exit_cfg = ExitConfig(**{**exit_cfg.to_dict(), "use_lte": True})
+    if name == "layoutlmv2":
+        # Served by the v3 architecture (documented in README/PARITY.md).
+        # The genuine v2 differences — detectron2 ResNeXt-FPN visual
+        # backbone, concatenated x0/y0/x1/y1/h/w coordinate embeddings —
+        # are out of scope: the reference only instantiates v2 through HF
+        # AutoModel (EE/configs.py:451-462) and never uses it in its EE
+        # experiments. Warn so nobody mistakes this for real v2 weights.
+        from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+        logger_message(
+            "model 'layoutlmv2' is served by the LayoutLMv3 architecture "
+            "(no detectron2 visual backbone); see PARITY.md",
+            type="warning",
+        )
     if name in ("layoutlmv3", "dit", "dit_rvl", "bert", "layoutlmv2"):
         # dense models: no exits
         model_cfg = EEModelConfig(backbone=bb, exit=ExitConfig(exits=()))

@@ -1,0 +1,133 @@
+"""Operating-point derivation + calibrated-criterion cascade parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+from multi_modal_early_exit_tpu.evaluation.operating_points import (
+    select_operating_points,
+    sweep_thresholds,
+)
+from multi_modal_early_exit_tpu.evaluation.policy import _scan
+from multi_modal_early_exit_tpu.models.ee.cascade import make_cascade_forward
+from multi_modal_early_exit_tpu.models.ee.model import ee_forward, init_ee_params
+from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+    EEModelConfig,
+    LayoutLMv3Config,
+)
+
+
+def test_cascade_temperatures_match_calibrated_offline_policy():
+    """Cascade with per-exit temperatures must make the same decisions as the
+    offline policy scan over the temperature-scaled logit store, while its
+    predictions stay the raw (unscaled) logits."""
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(11)
+    B, S = 12, 20
+    batch = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.ones((B, S), jnp.int32),
+    )
+    out = ee_forward(params, cfg, *batch)
+    store = np.asarray(out.policy_logits(), np.float64)
+
+    temps = (0.5, 1.7, 2.5, 1.0)
+    threshold = 0.45
+    calibrated = store / np.asarray(temps)[:, None, None]
+    expected_exits, _ = _scan(calibrated, np.full(1, threshold))
+
+    cascade = jax.jit(
+        make_cascade_forward(
+            cfg, capacities=(B, B), threshold=threshold, temperatures=temps
+        )
+    )
+    res = cascade(params, *batch)
+    np.testing.assert_array_equal(np.asarray(res.exit_ids), expected_exits)
+    # predictions are the RAW logits of the chosen exit
+    np.testing.assert_allclose(
+        np.asarray(res.logits),
+        store[expected_exits, np.arange(B)],
+        atol=3e-5, rtol=1e-4,
+    )
+
+
+def test_cascade_temperatures_length_validated():
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1)),
+    )
+    with pytest.raises(ValueError, match="temperatures"):
+        make_cascade_forward(cfg, capacities=(4, 4), temperatures=(1.0, 1.0))
+
+
+def _toy_store(n=400, k=4, seed=0):
+    """Store where exit 0 is confident-but-mediocre, exit 1 good, final
+    best: forces a real accuracy/compute trade-off."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, k, n)
+    onehot = np.eye(k)[labels]
+    def exit_logits(acc, scale):
+        correct = rng.random(n) < acc
+        preds = np.where(correct, labels, (labels + 1) % k)
+        return np.eye(k)[preds] * scale + rng.standard_normal((n, k)) * 0.3
+    store = np.stack([
+        exit_logits(0.70, 6.0),   # exit 0: overconfident, 70% right
+        exit_logits(0.90, 3.0),   # exit 1
+        onehot * 4.0 + rng.standard_normal((n, k)) * 0.3,  # final ~100%
+    ])
+    return store, labels
+
+
+def test_sweep_thresholds_shapes():
+    store, labels = _toy_store()
+    swept = sweep_thresholds(store, labels, [0.2, 0.9])
+    assert len(swept) == 2
+    t, acc, avg_exit, dist = swept[0]
+    assert 0 <= acc <= 1 and 0 <= avg_exit <= 2
+    assert abs(sum(dist.values()) - 1) < 1e-9
+
+
+def test_select_operating_points_respects_accuracy_budget():
+    store, labels = _toy_store()
+    pts = select_operating_points(
+        store, labels, n_emb=1, n_stages=2, batch=64,
+        accuracy_drops=(("iso", 0.005), ("fast", 0.10)),
+    )
+    iso, fast = pts
+    assert iso.val_accuracy >= iso.val_full_accuracy - 0.005
+    assert fast.val_accuracy >= fast.val_full_accuracy - 0.10
+    # the looser budget must not exit later on average
+    assert fast.val_average_exit <= iso.val_average_exit + 1e-9
+    # capacities: one per encoder stage, lane-friendly, within batch
+    for p in pts:
+        assert len(p.capacities) == 2
+        assert all(8 <= c <= 64 and c % 8 == 0 for c in p.capacities)
+    # the overconfident exit-0 must not be allowed to tank the iso point
+    assert iso.val_accuracy >= 0.9
+
+
+def test_select_operating_points_falls_back_to_full_depth():
+    """If no grid point meets the budget, serve full depth."""
+    rng = np.random.default_rng(1)
+    n, k = 200, 4
+    labels = rng.integers(0, k, n)
+    # early exit: always wrong but maximally confident; final: always right
+    wrong = np.eye(k)[(labels + 1) % k] * 50.0
+    store = np.stack([wrong, np.eye(k)[labels] * 50.0])
+    pts = select_operating_points(
+        store, labels, n_emb=0, n_stages=1, batch=32,
+        accuracy_drops=(("iso", 0.0),),
+    )
+    (iso,) = pts
+    assert iso.threshold > 1.0  # nobody can exit early
+    assert iso.val_accuracy == iso.val_full_accuracy
+    assert iso.capacities == (32,)
