@@ -89,21 +89,24 @@ _WORDS = (
 ).split()
 
 
-def synthetic_documents(
+def synthetic_tokens(
     n: int,
     num_labels: int = 16,
     seq_len: int = MAX_SEQ_LENGTH,
-    image_size: int = 224,
     seed: int = 42,
     tokenizer=None,
 ) -> Dict[str, np.ndarray]:
-    """Deterministic synthetic document batch: class-dependent word mixtures
-    and banded page images so models can actually overfit/learn signal."""
+    """Host-side half of the synthetic generator: labels + tokenized
+    class-dependent word mixtures (input_ids/bbox/attention_mask).
+
+    These arrays are small (a few MB per thousand docs) — cheap to ship to a
+    remote device — while the matching page images are a pure function of
+    ``labels`` and can be regenerated on device
+    (``synthetic_band_images_device``)."""
     rng = np.random.default_rng(seed)
     tokenizer = tokenizer or load_tokenizer()
     feats: List[Dict[str, np.ndarray]] = []
     labels = rng.integers(0, num_labels, n).astype(np.int32)
-    images = np.full((n, image_size, image_size, 3), 255, np.uint8)
     for i in range(n):
         label = int(labels[i])
         n_words = int(rng.integers(8, 60))
@@ -121,20 +124,65 @@ def synthetic_documents(
             for x, y in zip(xs, ys)
         ]
         feats.append(convert_words_to_features(words, boxes, tokenizer, seq_len))
-        # class-dependent horizontal band pattern makes vision informative
-        stride = 8 + label
-        images[i, ::stride, :, :] = 40 + 10 * (label % 8)
-
-    from multi_modal_early_exit_tpu.data.images import preprocess_images
-
-    pixel_values = np.asarray(preprocess_images(images, size=image_size))
     return {
         "input_ids": np.stack([f["input_ids"] for f in feats]),
         "bbox": np.stack([f["bbox"] for f in feats]),
         "attention_mask": np.stack([f["attention_mask"] for f in feats]),
-        "pixel_values": pixel_values,
         "labels": labels,
     }
+
+
+def synthetic_band_images(labels: np.ndarray, image_size: int) -> np.ndarray:
+    """Class-dependent horizontal band pattern (vision signal): white page,
+    rows ``0, stride, 2*stride, ...`` (stride = 8 + label) filled with a
+    class-dependent gray value."""
+    n = len(labels)
+    images = np.full((n, image_size, image_size, 3), 255, np.uint8)
+    for i in range(n):
+        label = int(labels[i])
+        images[i, :: 8 + label, :, :] = 40 + 10 * (label % 8)
+    return images
+
+
+def synthetic_band_images_device(labels, image_size: int):
+    """Device-side twin of ``synthetic_band_images`` as jnp ops: generates
+    the page images directly on the accelerator from the (tiny) label
+    vector, so benchmarks never push megabytes of pixels through a slow
+    host->device link.  Bit-identical to the host version (tested)."""
+    import jax.numpy as jnp
+
+    labels = jnp.asarray(labels, jnp.int32)
+    rows = jnp.arange(image_size, dtype=jnp.int32)
+    band = (rows[None, :] % (8 + labels)[:, None]) == 0  # (N, H)
+    val = (40 + 10 * (labels % 8)).astype(jnp.uint8)  # (N,)
+    img = jnp.where(
+        band[:, :, None, None], val[:, None, None, None], jnp.uint8(255)
+    )
+    return jnp.broadcast_to(
+        img, (labels.shape[0], image_size, image_size, 3)
+    )
+
+
+def synthetic_documents(
+    n: int,
+    num_labels: int = 16,
+    seq_len: int = MAX_SEQ_LENGTH,
+    image_size: int = 224,
+    seed: int = 42,
+    tokenizer=None,
+) -> Dict[str, np.ndarray]:
+    """Deterministic synthetic document batch: class-dependent word mixtures
+    and banded page images so models can actually overfit/learn signal."""
+    toks = synthetic_tokens(
+        n, num_labels=num_labels, seq_len=seq_len, seed=seed,
+        tokenizer=tokenizer,
+    )
+    images = synthetic_band_images(toks["labels"], image_size)
+
+    from multi_modal_early_exit_tpu.data.images import preprocess_images
+
+    pixel_values = np.asarray(preprocess_images(images, size=image_size))
+    return {**toks, "pixel_values": pixel_values}
 
 
 def build_synthetic(

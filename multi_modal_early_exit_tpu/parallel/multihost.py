@@ -28,15 +28,27 @@ import numpy as np
 
 def maybe_initialize_distributed() -> bool:
     """Call ``jax.distributed.initialize`` when launched as a multi-process
-    job (coordinator address present); no-op single-process otherwise."""
+    job (coordinator address present); no-op single-process otherwise.
+
+    When ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` are set (plain env-var
+    launch, e.g. the 2-process DCN test), they are passed explicitly —
+    jax's autodetection only covers cluster schedulers (Slurm/MPI/GKE)."""
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
+    )
+    if not addr:
+        return False
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:
         jax.distributed.initialize()
-        return True
-    return False
+    return True
 
 
 def process_info() -> Dict[str, int]:

@@ -114,3 +114,34 @@ def test_create_subset_balanced():
     counts = np.bincount(labels, minlength=4)
     assert (counts <= 3).all()
     assert len(sub) == counts.sum()
+
+
+def test_synthetic_band_images_device_matches_host():
+    """The device-side image twin (used by bench to avoid shipping pixels
+    over a slow host->device link) must be bit-identical to the host
+    generator."""
+    from multi_modal_early_exit_tpu.data.datasets import (
+        synthetic_band_images,
+        synthetic_band_images_device,
+    )
+
+    labels = np.arange(16, dtype=np.int32)
+    host = synthetic_band_images(labels, 64)
+    dev = np.asarray(synthetic_band_images_device(labels, 64))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_synthetic_tokens_compose_to_documents():
+    """synthetic_documents == synthetic_tokens + band images + preprocessing
+    (the refactor must not change the dataset)."""
+    from multi_modal_early_exit_tpu.data.datasets import (
+        synthetic_documents,
+        synthetic_tokens,
+    )
+
+    docs = synthetic_documents(6, num_labels=4, seq_len=16, image_size=32,
+                               seed=7)
+    toks = synthetic_tokens(6, num_labels=4, seq_len=16, seed=7)
+    for k in ("input_ids", "bbox", "attention_mask", "labels"):
+        np.testing.assert_array_equal(docs[k], toks[k])
+    assert docs["pixel_values"].shape == (6, 3, 32, 32)
