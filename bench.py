@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -246,7 +247,15 @@ def bench_train(batch: int) -> dict:
     def run_n(params, opt_state, batch, key):
         def body(carry, i):
             p, o = carry
-            p, o, loss, _ = step_fn(p, o, batch, jax.random.fold_in(key, i))
+            # vary ids AND bbox per step: real training sees a fresh batch
+            # every step, so the attention-bias build must not be hoisted
+            # (CSE'd) out of the scan
+            stepped = dict(
+                batch,
+                input_ids=(batch["input_ids"] + i) % bb.vocab_size,
+                bbox=jnp.minimum(batch["bbox"] + i, 1023),
+            )
+            p, o, loss, _ = step_fn(p, o, stepped, jax.random.fold_in(key, i))
             return (p, o), loss
 
         (p, o), losses = jax.lax.scan(body, (params, opt_state), jnp.arange(n_inner))
@@ -368,33 +377,56 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         compute_dtype=jnp.bfloat16,
     )
 
-    def run_epoch(params, opt_state, data, key):
-        perm = jax.random.permutation(jax.random.fold_in(key, 0), n_train)
+    # Chunked stepping: a whole-epoch scan compiles a program whose
+    # per-step attention-bias buffers the remote AOT compiler materializes
+    # together (HBM OOM at compile); small chunks keep the program bounded
+    # while still amortizing dispatch over several real optimizer steps.
+    chunk = int(os.environ.get("BENCH_ANYTIME_CHUNK", 4))
 
-        def body(carry, i):
+    @jax.jit
+    def arrange_epoch(data, idx):
+        return {
+            k: jnp.take(v, idx, axis=0).reshape(
+                (steps, 1, train_batch) + v.shape[1:]
+            )
+            for k, v in data.items()
+        }
+
+    def run_chunk(params, opt_state, chunk_data, key):
+        def body(carry, xs):
             p, o = carry
-            idx = jax.lax.dynamic_slice(perm, (i * train_batch,), (train_batch,))
-            micro = {
-                k: jnp.take(v, idx, axis=0)[None] for k, v in data.items()
-            }
-            p, o, loss, _ = step_raw(p, o, micro, jax.random.fold_in(key, i + 1))
+            micro, i = xs
+            p, o, loss, _ = step_raw(p, o, micro, jax.random.fold_in(key, i))
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps)
+            body, (params, opt_state),
+            (chunk_data, jnp.arange(chunk)),
         )
         return params, opt_state, losses.mean()
 
-    run_epoch_j = jax.jit(run_epoch, donate_argnums=(0, 1))
+    run_chunk_j = jax.jit(run_chunk, donate_argnums=(0, 1))
     params, opt_state = trainer.params, trainer.opt_state
     key = jax.random.key(7)
+    perm_rng = np.random.default_rng(0)
     losses = []
     t_train0 = time.perf_counter()
     for e in range(epochs):
-        params, opt_state, loss = run_epoch_j(
-            params, opt_state, train_data, jax.random.fold_in(key, e)
+        idx = jnp.asarray(
+            perm_rng.permutation(n_train)[: steps * train_batch]
         )
+        epoch_data = arrange_epoch(train_data, idx)
+        for c0 in range(0, steps - chunk + 1, chunk):
+            chunk_data = jax.tree.map(
+                lambda x: x[c0 : c0 + chunk], epoch_data
+            )
+            params, opt_state, loss = run_chunk_j(
+                params, opt_state, chunk_data,
+                jax.random.fold_in(key, e * steps + c0),
+            )
         losses.append(float(loss))
+        print(f"anytime: epoch {e + 1}/{epochs} loss {losses[-1]:.4f}",
+              file=sys.stderr, flush=True)
     train_secs = time.perf_counter() - t_train0
 
     params = _bf16(params)  # serving precision from here on
@@ -407,11 +439,15 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             p, cfg, ids, bbox, pv, mask, seq_pad_multiple=128
         ).policy_logits().astype(jnp.float32)
 
+    # the all-exits harvest keeps the full (B,H,S,S) bias live; batch 32 is
+    # its measured sweet spot and 64 trips the AOT compiler's HBM budget
+    harvest_batch = min(serve_batch, 32)
+
     def harvest(data):
         stores = []
         n = int(data["labels"].shape[0])
-        for s in range(0, n, serve_batch):
-            sl = slice(s, s + serve_batch)
+        for s in range(0, n, harvest_batch):
+            sl = slice(s, s + harvest_batch)
             stores.append(
                 np.asarray(
                     harvest_fwd(

@@ -1,0 +1,311 @@
+"""On-TPU kernel numerics gate (VERDICT r2 weak-point 4).
+
+The pytest suite proves every Pallas kernel against its XLA/jnp oracle in
+*interpret mode* on CPU (tests/test_flash_attention.py,
+tests/test_fused_bias_attention.py). Mosaic — the real TPU lowering — can
+disagree with the interpreter, so this script re-asserts the same claims on
+the actual device at base-size shapes (12 heads, 709 = 512 text + 197
+visual tokens, head dim 64):
+
+  flash fwd f32/bf16, flash grads (q/k/v/bias), in-kernel dropout fwd+grads
+  vs the position-hash oracle, packed-layout fwd, packed-train fwd+grads,
+  the Pallas bias builder vs the XLA gather chain, and the in-kernel-bias
+  attention variant.
+
+Tunnel-friendly: all inputs are generated on device (jax.random) and every
+comparison reduces to scalars inside one jit — nothing bulk crosses the
+link. Writes NUMERICS_TPU.json at the repo root and exits non-zero if any
+check fails; bench.py runs green only next to this artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the XLA oracle must not quietly run its f32 matmuls at bf16 MXU precision
+jax.config.update("jax_default_matmul_precision", "highest")
+
+if os.environ.get("MMEE_NUMERICS_TINY") == "1":
+    # CPU interpret-mode smoke of the script itself (not the real gate).
+    # D stays 64: the bias builders fold 1/sqrt(cfg.head_dim) and the
+    # attention oracles must see the same scale.
+    B, H, S, D = 2, 2, 50, 64
+    PAD = 128
+else:
+    B, H, S, D = 4, 12, 709, 64  # base-size: 512 text + 197 visual tokens
+    PAD = 768  # lane-aligned bias width
+
+
+def _err(a, b):
+    """(max abs diff, max abs ref) over the finite region, as scalars."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    finite = jnp.isfinite(a) & jnp.isfinite(b) & (jnp.abs(b) < 1e30)
+    diff = jnp.where(finite, jnp.abs(a - b), 0.0)
+    ref = jnp.where(finite, jnp.abs(b), 0.0)
+    # masked (-inf / sentinel) entries must be masked in BOTH
+    both = jnp.all(finite == (jnp.isfinite(b) & (jnp.abs(b) < 1e30)))
+    return jnp.max(diff), jnp.max(ref), both
+
+
+def main() -> None:
+    if os.environ.get("MMEE_NUMERICS_TINY") == "1":
+        import contextlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _run_checks()
+
+
+def _run_checks() -> None:
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.models.layoutlmv3 import modeling as M
+    from multi_modal_early_exit_tpu.ops import flash_attention as fa
+    from multi_modal_early_exit_tpu.ops import fused_bias_attention as fba
+
+    cfg = LayoutLMv3Config.base(num_labels=16)
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 12)
+
+    # ---- inputs, all generated on device --------------------------------
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32)
+    gw = jax.random.normal(ks[3], (B, H, S, D), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    x0 = jax.random.randint(ks[4], (B, S, 1), 0, 900)
+    y0 = jax.random.randint(ks[5], (B, S, 1), 0, 900)
+    bbox = jnp.concatenate(
+        [x0, y0, x0 + jax.random.randint(ks[6], (B, S, 1), 1, 100),
+         y0 + jax.random.randint(ks[7], (B, S, 1), 1, 100)], axis=-1
+    ).astype(jnp.int32)
+    # ragged sample 0 (never fully masked — CLS is always real, and a
+    # fully-masked row's output is undefined in both formulations)
+    mask = jnp.ones((B, S), jnp.int32).at[0, -(S // 4):].set(0)
+    tables = {
+        "rel_pos_bias": jax.random.normal(ks[8], (cfg.rel_pos_bins, H)),
+        "rel_pos_x_bias": jax.random.normal(ks[9], (cfg.rel_2d_pos_bins, H)),
+        "rel_pos_y_bias": jax.random.normal(ks[10], (cfg.rel_2d_pos_bins, H)),
+    }
+    params = {"encoder": tables}
+    seed = jnp.asarray([17], jnp.int32)
+
+    checks = []
+
+    def record(name, tol, fn):
+        e, scale, mask_ok = jax.jit(fn)()
+        entry = {
+            "name": name,
+            "max_abs_err": float(e),
+            "ref_scale": float(scale),
+            "tol": tol,
+            "ok": bool(float(e) <= tol and bool(mask_ok)),
+        }
+        checks.append(entry)
+        print(json.dumps(entry))
+
+    # ---- 1. Pallas bias builder vs the XLA gather chain (bf16) ----------
+    def bias_builder():
+        got = M.kernel_attention_bias(params, cfg, pos, bbox, mask,
+                                      dtype=jnp.bfloat16)
+        want = M.make_attention_bias(params, cfg, pos, bbox, mask,
+                                     dtype=jnp.bfloat16, pad_to=PAD)
+        return _err(got, want)
+
+    record("bias_builder_bf16", 1e-2, bias_builder)
+
+    bias32 = M.make_attention_bias(params, cfg, pos, bbox, mask,
+                                   dtype=jnp.float32, pad_to=PAD)
+    bias16 = bias32.astype(jnp.bfloat16)
+    # the jnp oracles take the unpadded (S, S) block; kernels take the
+    # pre-padded width (hash-dropout oracle slices internally)
+    bias32s = bias32[:, :, :S, :S]
+    bias16s = bias16[:, :, :S, :S]
+
+    # ---- 2/3. flash fwd f32 + grads --------------------------------------
+    def flash_f32():
+        return _err(fa.flash_attention(q, k, v, bias32),
+                    fa.reference_attention(q, k, v, bias32s))
+
+    record("flash_fwd_f32", 5e-3, flash_f32)
+
+    def flash_grads():
+        gk = jax.grad(
+            lambda *a: (fa.flash_attention(*a) * gw).sum(), argnums=(0, 1, 2, 3)
+        )(q, k, v, bias32)
+        gr = jax.grad(
+            lambda *a: (fa.reference_attention(*a) * gw).sum(),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias32s)
+        gk = gk[:3] + (gk[3][:, :, :S, :S],)
+        errs = [_err(a, b) for a, b in zip(gk, gr)]
+        return (
+            jnp.max(jnp.stack([e[0] for e in errs])),
+            jnp.max(jnp.stack([e[1] for e in errs])),
+            jnp.all(jnp.stack([e[2] for e in errs])),
+        )
+
+    record("flash_grads_f32", 2e-2, flash_grads)
+
+    # ---- 4. flash fwd bf16 ------------------------------------------------
+    def flash_bf16():
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        return _err(fa.flash_attention(qb, kb, vb, bias16),
+                    fa.reference_attention(qb, kb, vb, bias16s))
+
+    record("flash_fwd_bf16", 5e-2, flash_bf16)
+
+    # ---- 5/6. in-kernel dropout vs position-hash oracle -------------------
+    rate = 0.1
+
+    def drop_fwd():
+        got = fa.flash_attention(q, k, v, bias32, dropout_rate=rate,
+                                 dropout_seed=seed)
+        want = fa.reference_attention_hash_dropout(q, k, v, bias32, seed, rate)
+        return _err(got, want)
+
+    record("flash_dropout_fwd_f32", 5e-3, drop_fwd)
+
+    def drop_grads():
+        gk = jax.grad(
+            lambda a, b, c: (
+                fa.flash_attention(a, b, c, bias32, dropout_rate=rate,
+                                   dropout_seed=seed) * gw
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda a, b, c: (
+                fa.reference_attention_hash_dropout(a, b, c, bias32, seed,
+                                                    rate) * gw
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        errs = [_err(a, b) for a, b in zip(gk, gr)]
+        return (
+            jnp.max(jnp.stack([e[0] for e in errs])),
+            jnp.max(jnp.stack([e[1] for e in errs])),
+            jnp.all(jnp.stack([e[2] for e in errs])),
+        )
+
+    record("flash_dropout_grads_f32", 2e-2, drop_grads)
+
+    # ---- 7. packed-layout fwd (serving layout, bf16) ----------------------
+    def packed():
+        qp = q.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        kp = k.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        vp = v.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        got = fa.flash_attention_packed(qp, kp, vp, bias16, num_heads=H)
+        want = fa.reference_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bias16s,
+        ).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        return _err(got, want)
+
+    record("packed_fwd_bf16", 5e-2, packed)
+
+    # ---- 8. packed-train fwd + grads (training layout, dropout) -----------
+    def packed_train():
+        qp = q.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        kp = k.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        vp = v.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        gwp = gw.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+
+        def loss_k(a, b, c):
+            return (
+                fa.flash_attention_packed_train(
+                    a, b, c, bias32, seed, num_heads=H, rate=rate
+                ) * gwp
+            ).sum()
+
+        def loss_r(a, b, c):
+            out = fa.reference_attention_hash_dropout(
+                a.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                b.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                c.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                bias32, seed, rate,
+            ).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+            return (out * gwp).sum()
+
+        fwd_err = _err(
+            fa.flash_attention_packed_train(
+                qp, kp, vp, bias32, seed, num_heads=H, rate=rate
+            ),
+            fa.reference_attention_hash_dropout(
+                q, k, v, bias32, seed, rate
+            ).transpose(0, 2, 1, 3).reshape(B, S, H * D),
+        )
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(qp, kp, vp)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(qp, kp, vp)
+        errs = [fwd_err] + [_err(a, b) for a, b in zip(gk, gr)]
+        return (
+            jnp.max(jnp.stack([e[0] for e in errs])),
+            jnp.max(jnp.stack([e[1] for e in errs])),
+            jnp.all(jnp.stack([e[2] for e in errs])),
+        )
+
+    record("packed_train_fwd_grads_f32", 2e-2, packed_train)
+
+    # ---- 9. in-kernel-bias attention variant ------------------------------
+    def fused_bias():
+        scale = 1.0 / math.sqrt(D)
+        got = fba.fused_bias_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+            pos, bbox[:, :, 0], bbox[:, :, 3], mask,
+            tables["rel_pos_bias"].astype(jnp.float32) * scale,
+            tables["rel_pos_x_bias"].astype(jnp.float32) * scale,
+            tables["rel_pos_y_bias"].astype(jnp.float32) * scale,
+            rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+            rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+        )
+        want = fa.reference_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bias16s,
+        )
+        # masked (pad) query rows are garbage in both paths and never read
+        # downstream; compare real rows only (as the unit test does)
+        got_valid = jnp.where(
+            mask[:, None, :, None] > 0, got[:, :, :S], want
+        )
+        return _err(got_valid, want)
+
+    record("fused_bias_attention_bf16", 6e-2, fused_bias)
+
+    all_ok = all(c["ok"] for c in checks)
+    artifact = {
+        "platform": str(jax.devices()[0]),
+        "shapes": {"B": B, "H": H, "S": S, "D": D, "pad": PAD},
+        "checks": checks,
+        "all_ok": all_ok,
+    }
+    with open(os.path.join(ROOT, "NUMERICS_TPU.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"numerics_all_ok": all_ok}))
+    if not all_ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Smoke-test bench.py's anytime mode (tiny config, CPU).
+
+The driver runs bench.py on real TPU hardware; this test keeps the
+train -> calibrate -> derive-operating-points -> measure flow from
+regressing between TPU runs.  Uses the same code path as the TPU run
+(BENCH_TINY only shrinks the model/data).
+"""
+
+import sys
+import os
+
+import numpy as np
+
+
+def test_bench_anytime_tiny(monkeypatch):
+    monkeypatch.setenv("BENCH_TINY", "1")
+    monkeypatch.setenv("BENCH_ANYTIME_EPOCHS", "4")
+    monkeypatch.setenv("BENCH_ANYTIME_TRAIN", "64")
+    monkeypatch.setenv("BENCH_ANYTIME_EVAL", "32")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    result = bench.bench_anytime(serve_batch=16, K=2)
+
+    assert result["metric"] == "anytime_iso_accuracy_docs_per_sec_per_chip"
+    assert result["value"] > 0
+    assert result["baseline"].startswith("estimated-32")
+    pts = result["operating_points"]
+    assert [p["name"] for p in pts] == ["iso", "fast"]
+    for p in pts:
+        # iso-accuracy constraint held on validation by construction
+        assert p["val_accuracy"] >= p["val_full_accuracy"] - p["accuracy_drop_budget"] - 1e-9
+        assert len(p["capacities"]) == 2
+        assert 0 <= p["test_average_exit"] <= 4
+        assert 0 <= p["capacity_exit_rate"] <= 1
+    # training actually stepped
+    assert np.isfinite(result["train"]["final_loss"])
+    assert result["train"]["final_loss"] < result["train"]["first_loss"]
+    assert len(result["temperatures"]) == 4  # 3 exits + final
