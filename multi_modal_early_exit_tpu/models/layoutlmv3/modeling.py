@@ -708,10 +708,17 @@ def make_attention_bias(
     if pad_to is not None and pad_to > bias.shape[-1]:
         extra = pad_to - bias.shape[-1]
         pad_val = jnp.asarray(neg, jnp.float32).astype(dtype)
+        # key COLUMNS pad with -inf (padded keys must carry zero attention
+        # weight); query ROWS pad with 0 — an all--inf query row makes the
+        # row softmax/lse numerically undefined, and on real TPUs the
+        # resulting NaN poisons dk/dv through the flash backward's
+        # row-contraction (pad rows' outputs are garbage either way and are
+        # never read)
         bias = jnp.pad(
-            bias, ((0, 0), (0, 0), (0, extra), (0, extra)),
+            bias, ((0, 0), (0, 0), (0, 0), (0, extra)),
             constant_values=pad_val,
         )
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, extra), (0, 0)))
     return bias
 
 

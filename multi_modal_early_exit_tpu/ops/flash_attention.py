@@ -601,27 +601,33 @@ def _attn_bwd_packed_kernel(
     *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
     num_heads: int, block_q: int,
 ):
-    """Packed-layout fused backward, grid (b, q-block, head-group).
+    """Packed-layout fused backward, grid (b, head-group, q-block).
 
-    All packed operands keep full contiguous rows VMEM-resident across the
-    innermost head dimension; dk/dv are f32 accumulators whose block index
-    is constant over (j, hg), so they live in VMEM for a whole batch-row
-    sweep and are written back once. One probability recompute per head
-    serves dq/dbias/dk/dv."""
+    The q-block dim is INNERMOST so the per-(b, head-group) dk/dv f32
+    accumulator blocks are revisited consecutively and accumulate in VMEM
+    across the j sweep — the exact pattern of the proven head-form kernel
+    (_attn_bwd_fused_kernel). Every output block belongs to one head group
+    (full-block writes; no dynamic lane-slice stores on revisited buffers —
+    that combination miscompiled to NaN dk/dv on real TPUs while passing in
+    interpret mode). One probability recompute per head serves
+    dq/dbias/dk/dv."""
     b_idx = pl.program_id(0)
-    j = pl.program_id(1)
-    hg = pl.program_id(2)
+    hg = pl.program_id(1)
+    j = pl.program_id(2)
     width = heads_per_cell * head_dim
-    cols = _packed_cols(q_ref, width)
+    cols = (
+        slice(None) if width == q_ref.shape[-1]
+        else pl.ds(hg * width, width)
+    )
     qg = q_ref[0, :, cols].astype(jnp.float32) * scale   # (Bq, hp*D)
     kg = k_ref[0, :, cols].astype(jnp.float32)           # (S, hp*D)
     vg = v_ref[0, :, cols].astype(jnp.float32)
     dog = do_ref[0, :, cols].astype(jnp.float32)
 
-    @pl.when((j == 0) & (hg == 0))
+    @pl.when(j == 0)
     def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dq_parts = []
     dk_parts = []
@@ -658,9 +664,9 @@ def _attn_bwd_packed_kernel(
             p_dropped, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
-    dq_ref[0, :, cols] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
-    dk_ref[0, :, cols] += jnp.concatenate(dk_parts, -1)
-    dv_ref[0, :, cols] += jnp.concatenate(dv_parts, -1)
+    dq_ref[0, 0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jnp.concatenate(dk_parts, -1)
+    dv_ref[0, 0] += jnp.concatenate(dv_parts, -1)
 
 
 @functools.partial(
@@ -746,30 +752,42 @@ def _flash_packed_bwd_impl(
         .transpose(0, 2, 1)[..., None]
     )  # (B, H, S_pad, 1)
 
-    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, j, hh: (i, j, 0),
+    n_hg = num_heads // hp
+    width = hp * d
+    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, hh, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, j, hh: (i, 0, 0),
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, hh, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, hp, block_q, 1),
-                            lambda i, j, hh: (i, hh, j, 0),
+                            lambda i, hh, j: (i, hh, j, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
-                             lambda i, j, hh: (i, hh, j, 0),
+                             lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM)
-    dq, dbias, dk32, dv32 = pl.pallas_call(
+    # grouped outputs: every grid cell owns a full block of its head
+    # group's lanes — dq per (group, q-block); dk/dv per group, accumulated
+    # over the innermost j sweep only (the head-form kernel's proven
+    # revisit pattern)
+    dq_spec = pl.BlockSpec((1, 1, block_q, width),
+                           lambda i, hh, j: (i, hh, j, 0),
+                           memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 1, s_pad, width),
+                            lambda i, hh, j: (i, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dq4, dbias, dk4, dv4 = pl.pallas_call(
         functools.partial(
             _attn_bwd_packed_kernel, scale=1.0 / math.sqrt(d), rate=rate,
             head_dim=d, heads_per_cell=hp, num_heads=num_heads,
             block_q=block_q,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), q.dtype),
             jax.ShapeDtypeStruct((b, num_heads, s_pad, s_pad), bias.dtype),
-            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
-            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
-            grid=(b, s_pad // block_q, num_heads // hp),
+            grid=(b, n_hg, s_pad // block_q),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
                 row_spec,   # q rows
@@ -781,10 +799,10 @@ def _flash_packed_bwd_impl(
                 vec_spec,   # delta
             ],
             out_specs=[
-                row_spec,   # dq (each head group writes its lane slice)
+                dq_spec,    # dq (per group + q-block)
                 bias_spec,  # dbias
-                full_spec,  # dk accumulator (VMEM-resident per batch row)
-                full_spec,  # dv accumulator
+                acc_spec,   # dk accumulator (VMEM-resident per (b, group))
+                acc_spec,   # dv accumulator
             ],
         ),
         cost_estimate=pl.CostEstimate(
@@ -796,9 +814,13 @@ def _flash_packed_bwd_impl(
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
     )(seed, qp, kp, vp, bp, gp, lsep, delta)
-    dq = dq[:, :s, :]
-    dk = dk32[:, :s, :].astype(k.dtype)
-    dv = dv32[:, :s, :].astype(v.dtype)
+
+    def merge(x):  # (B, n_hg, S_pad, width) -> (B, S_pad, hd)
+        return x.transpose(0, 2, 1, 3).reshape(b, s_pad, hd)
+
+    dq = merge(dq4)[:, :s, :]
+    dk = merge(dk4)[:, :s, :].astype(k.dtype)
+    dv = merge(dv4)[:, :s, :].astype(v.dtype)
     dbias = dbias[:, :, : bias.shape[2], : bias.shape[3]]
     return dq, dk, dv, dbias
 

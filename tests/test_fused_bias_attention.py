@@ -217,3 +217,38 @@ def test_materialize_bias_table_gradients():
     for a, b_ in zip(g_kernel, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-5)
+
+
+def test_prepadded_bias_pad_rows_are_finite():
+    """make_attention_bias(pad_to=P) must pad key COLUMNS with -inf but
+    query ROWS with finite values: an all--inf row has an undefined row
+    softmax, and on real TPUs the resulting NaN lse poisons dk/dv through
+    the flash backward's row contraction (caught by the on-TPU numerics
+    gate, scripts/tpu_numerics_check.py)."""
+    cfg = LayoutLMv3Config.tiny(num_labels=4)
+    rng = np.random.default_rng(3)
+    b, s = 2, 24
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    x0 = rng.integers(0, 900, (b, s, 1))
+    y0 = rng.integers(0, 900, (b, s, 1))
+    bbox = jnp.asarray(np.concatenate([x0, y0, x0 + 50, y0 + 30], -1),
+                       jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32).at[1, -5:].set(0)
+    h = cfg.num_attention_heads
+    params = {"encoder": {
+        "rel_pos_bias": jnp.asarray(
+            rng.standard_normal((cfg.rel_pos_bins, h)), jnp.float32),
+        "rel_pos_x_bias": jnp.asarray(
+            rng.standard_normal((cfg.rel_2d_pos_bins, h)), jnp.float32),
+        "rel_pos_y_bias": jnp.asarray(
+            rng.standard_normal((cfg.rel_2d_pos_bins, h)), jnp.float32),
+    }}
+    bias = np.asarray(M.make_attention_bias(
+        params, cfg, pos, bbox, mask, dtype=jnp.float32, pad_to=64))
+    assert bias.shape == (b, h, 64, 64)
+    # pad key columns: large negative for every REAL query row (pad-row x
+    # pad-col cells are don't-care)
+    assert (bias[:, :, :s, s:] < -1e30).all()
+    # pad query rows: finite on real key columns (row softmax well-defined)
+    assert np.isfinite(bias[:, :, s:, :s]).all()
+    assert (np.abs(bias[0, :, s:, :s]) < 1e6).all()
