@@ -389,8 +389,40 @@ def attention_apply(
         use_flash_attention,
     )
 
+    if isinstance(attn_bias, TrainBiasContext) and use_flash_attention():
+        # training path with in-kernel table gradients: the backward reduces
+        # ds directly into the (bins, H) tables — no (B,H,S,S) dbias
+        # write/accumulate/re-reduce (docs/PROFILE_TRAIN.md residual)
+        from multi_modal_early_exit_tpu.ops.flash_attention import (
+            flash_attention_packed_train_tables,
+        )
+
+        qp = linear(p["query"], hidden)
+        kp = linear(p["key"], hidden)
+        vp = linear(p["value"], hidden)
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        if rate > 0.0 and rng_attn is None:
+            rate = 0.0
+        if rate > 0.0:
+            seed = jax.random.randint(
+                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        ctx = flash_attention_packed_train_tables(
+            qp, kp, vp, attn_bias.bias,
+            attn_bias.t1, attn_bias.tx, attn_bias.ty,
+            attn_bias.position_ids, attn_bias.cx, attn_bias.cy, seed,
+            cfg.num_attention_heads, rate=rate,
+            rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+            rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+        ).astype(hidden.dtype)
+        out = linear(p["output"], ctx)
+        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
+        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
     if (
-        not isinstance(attn_bias, FusedBiasContext)
+        not isinstance(attn_bias, (FusedBiasContext, TrainBiasContext))
         and attn_bias is not None
         and attn_bias.shape[1] == cfg.num_attention_heads
         and use_flash_attention()
@@ -447,6 +479,13 @@ def attention_apply(
         out = linear(p["output"], ctx)
         out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
+    if isinstance(attn_bias, TrainBiasContext):
+        # defensive: a TrainBiasContext only reaches here if flash was
+        # disabled between build and apply; its bias is stop-gradient, so
+        # table grads are zero on this fallback — callers gate on
+        # use_flash_attention() before building one
+        attn_bias = attn_bias.bias
 
     # XLA composition (non-flash backends and head-mismatched biases; the
     # `flash_attention` (B,H,S,D) kernel pair remains available for direct
@@ -584,6 +623,24 @@ def init_params(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
     return params
 
 
+class TrainBiasContext(NamedTuple):
+    """Training-path bias bundle for the in-kernel-table-gradient attention
+    (ops/flash_attention.flash_attention_packed_train_tables): the bias is
+    materialized ONCE per step (cheap per-layer read) while the backward
+    reduces the bias cotangent straight into the three (bins, H) tables —
+    the (B, H, S, S) dbias round-trip that dominated the train-step profile
+    (docs/PROFILE_TRAIN.md) never exists. ``bias`` is stop-gradient; the
+    scaled tables are the gradient receivers."""
+
+    bias: jax.Array          # (B, H, P, P), stop-gradient
+    position_ids: jax.Array  # (B, S) int32
+    cx: jax.Array            # (B, S) int32
+    cy: jax.Array            # (B, S) int32
+    t1: jax.Array            # (rel_bins, H) f32, 1/sqrt(d) folded
+    tx: jax.Array            # (rel2d_bins, H)
+    ty: jax.Array            # (rel2d_bins, H)
+
+
 class FusedBiasContext(NamedTuple):
     """Raw ingredients for in-kernel bias construction
     (ops/fused_bias_attention.py): per-token vectors + pre-scaled tables.
@@ -596,6 +653,25 @@ class FusedBiasContext(NamedTuple):
     t1: jax.Array            # (rel_bins, H) f32, 1/sqrt(d) folded
     tx: jax.Array            # (rel2d_bins, H)
     ty: jax.Array            # (rel2d_bins, H)
+
+
+def use_table_grad_attention(default: bool = False) -> bool:
+    """In-kernel table-gradient training attention
+    (flash_attention_packed_train_tables). MMEE_TABLE_GRADS=1 forces it on,
+    =0 forces it off; unset uses the measured-best default — currently OFF:
+    the per-layer in-kernel bucket reduction measures slower than the
+    dbias-accumulate path at the reference budget (see docs/PROFILE_TRAIN.md);
+    the op stays available as the memory-bound-shape escape hatch (no
+    (B,H,S,S) cotangent tensors at all, peak grad memory drops by
+    ~12 x B*H*S^2)."""
+    import os
+
+    flag = os.environ.get("MMEE_TABLE_GRADS")
+    if flag == "0":
+        return False
+    if flag:
+        return True
+    return default
 
 
 def use_fused_bias_attention(default: bool = False) -> bool:
@@ -842,6 +918,22 @@ def backbone_apply(
                 params, cfg, final_position_ids, final_bbox, full_mask,
                 dtype=combined.dtype,
             )
+            if not deterministic and use_table_grad_attention():
+                # training: hand the layers the raw table/position operands
+                # so the attention backward reduces the bias cotangent into
+                # the tables in-kernel (no (B,H,S,S) dbias round-trip); the
+                # materialized bias itself carries no gradient
+                scale = 1.0 / math.sqrt(cfg.head_dim)
+                enc = params["encoder"]
+                attn_bias = TrainBiasContext(
+                    bias=jax.lax.stop_gradient(attn_bias),
+                    position_ids=final_position_ids.astype(jnp.int32),
+                    cx=final_bbox[:, :, 0].astype(jnp.int32),
+                    cy=final_bbox[:, :, 3].astype(jnp.int32),
+                    t1=enc["rel_pos_bias"].astype(jnp.float32) * scale,
+                    tx=enc["rel_pos_x_bias"].astype(jnp.float32) * scale,
+                    ty=enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
+                )
         else:
             bias_pad_to = None
             if flash_eligible and combined.shape[1] % DEFAULT_BLOCK_Q:

@@ -78,12 +78,17 @@ def _attn_fwd_kernel(
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
     q_blk = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
+    # matmuls run at the INPUT dtype with f32 accumulation: for bf16 inputs
+    # the MXU's bf16xbf16->f32 mode is bit-identical to upcasting first
+    # (bf16 products are exact in f32) but ~4x faster than the emulated f32
+    # matmul the upcast forces; f32 inputs keep full-precision behavior.
+    # The 1/sqrt(d) scale is applied to the f32 scores, never to bf16 q.
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Bq, S)
+    ) * scale  # (Bq, S)
     s = s + bias_ref[0, 0].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -213,16 +218,19 @@ def _attn_bwd_fused_kernel(
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
     q_blk = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale   # (Bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)           # (S, D)
-    v = v_ref[0, 0].astype(jnp.float32)           # (S, D)
-    do = do_ref[0, 0].astype(jnp.float32)         # (Bq, D)
+    # input-dtype matmuls (see forward kernel): bf16 operands use the native
+    # MXU mode; intermediates (p, ds) are cast back to the input dtype for
+    # their matmuls — the same rounding the forward applies to p.
+    q = q_ref[0, 0]          # (Bq, D)
+    k = k_ref[0, 0]          # (S, D)
+    v = v_ref[0, 0]          # (S, D)
+    do = do_ref[0, 0]        # (Bq, D)
     lse = lse_ref[0, 0]     # (Bq, 1)
     delta = delta_ref[0, 0]  # (Bq, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias_ref[0, 0].astype(jnp.float32)        # (Bq, S)
+    ) * scale + bias_ref[0, 0].astype(jnp.float32)  # (Bq, S)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -238,8 +246,10 @@ def _attn_bwd_fused_kernel(
         p_dropped = p
     ds = p * (dp - delta)  # (Bq, S) — this IS dbias for the tile
     dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+    ds_c = ds.astype(q.dtype)
+    p_c = p_dropped.astype(do.dtype)
     dq_ref[0, 0] = (
-        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
     ).astype(dq_ref.dtype)
 
     @pl.when(q_blk == 0)
@@ -249,10 +259,10 @@ def _attn_bwd_fused_kernel(
 
     # dk_j += sum_i ds_ij q_i * scale ; dv_j += sum_i (p*c)_ij do_i
     dk_ref[0, 0] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
     dv_ref[0, 0] += jax.lax.dot_general(
-        p_dropped, do, (((0,), (0,)), ((), ())),
+        p_c, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -431,8 +441,10 @@ def _attn_fwd_packed_kernel(
         cols = slice(None)
     else:
         cols = pl.ds(pl.program_id(2) * width, width)
-    qg = q_ref[0, :, cols].astype(jnp.float32) * scale   # (Bq, hp*D)
-    kg = k_ref[0, :, cols].astype(jnp.float32)           # (S, hp*D)
+    # input-dtype matmuls (see _attn_fwd_kernel): bf16 operands hit the
+    # native MXU mode; the scale lands on the f32 scores
+    qg = q_ref[0, :, cols]                               # (Bq, hp*D)
+    kg = k_ref[0, :, cols]                               # (S, hp*D)
     vg = v_ref[0, :, cols]                               # (S, hp*D)
     outs = []
     for e in range(heads_per_cell):
@@ -440,7 +452,7 @@ def _attn_fwd_packed_kernel(
         s = jax.lax.dot_general(
             qg[:, lo:hi], kg[:, lo:hi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_ref[0, e].astype(jnp.float32)           # (Bq, S)
+        ) * scale + bias_ref[0, e].astype(jnp.float32)   # (Bq, S)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -568,8 +580,8 @@ def _attn_fwd_packed_train_kernel(
     hg = pl.program_id(2)
     width = heads_per_cell * head_dim
     cols = _packed_cols(q_ref, width)
-    qg = q_ref[0, :, cols].astype(jnp.float32) * scale
-    kg = k_ref[0, :, cols].astype(jnp.float32)
+    qg = q_ref[0, :, cols]
+    kg = k_ref[0, :, cols]
     vg = v_ref[0, :, cols]
     outs = []
     for e in range(heads_per_cell):
@@ -577,7 +589,7 @@ def _attn_fwd_packed_train_kernel(
         s = jax.lax.dot_general(
             qg[:, lo:hi], kg[:, lo:hi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_ref[0, e].astype(jnp.float32)           # (Bq, S)
+        ) * scale + bias_ref[0, e].astype(jnp.float32)   # (Bq, S)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -619,10 +631,11 @@ def _attn_bwd_packed_kernel(
         slice(None) if width == q_ref.shape[-1]
         else pl.ds(hg * width, width)
     )
-    qg = q_ref[0, :, cols].astype(jnp.float32) * scale   # (Bq, hp*D)
-    kg = k_ref[0, :, cols].astype(jnp.float32)           # (S, hp*D)
-    vg = v_ref[0, :, cols].astype(jnp.float32)
-    dog = do_ref[0, :, cols].astype(jnp.float32)
+    # input-dtype matmuls (see _attn_bwd_fused_kernel)
+    qg = q_ref[0, :, cols]                               # (Bq, hp*D)
+    kg = k_ref[0, :, cols]                               # (S, hp*D)
+    vg = v_ref[0, :, cols]
+    dog = do_ref[0, :, cols]
 
     @pl.when(j == 0)
     def _init():
@@ -637,7 +650,7 @@ def _attn_bwd_packed_kernel(
         q, k, v, do = qg[:, lo:hi], kg[:, lo:hi], vg[:, lo:hi], dog[:, lo:hi]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) + bias_ref[0, e].astype(jnp.float32)            # (Bq, S)
+        ) * scale + bias_ref[0, e].astype(jnp.float32)    # (Bq, S)
         p = jnp.exp(s - lse_ref[0, e])
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -653,15 +666,17 @@ def _attn_bwd_packed_kernel(
             p_dropped = p
         ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
         dbias_ref[0, e] = ds.astype(dbias_ref.dtype)
+        ds_c = ds.astype(q.dtype)
+        p_c = p_dropped.astype(do.dtype)
         dq_parts.append(
-            jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
         )
         dk_parts.append(jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds_c, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
+        ) * scale)
         dv_parts.append(jax.lax.dot_general(
-            p_dropped, do, (((0,), (0,)), ((), ())),
+            p_c, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
     dq_ref[0, 0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
@@ -863,6 +878,346 @@ def _packed_train_bwd(num_heads, block_q, rate, residuals, g):
 
 
 flash_attention_packed_train.defvjp(_packed_train_fwd, _packed_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed TRAINING op with IN-KERNEL TABLE GRADIENTS
+#
+# The trained bias parameters are three tiny (bins, H) bucket tables; the
+# (B, H, S, S) bias itself is just their broadcast. The plain train op
+# (flash_attention_packed_train) emits a full-size dbias per layer which the
+# encoder scan accumulates and a separate kernel finally reduces into the
+# tables — profiled at ~20% of the train step (docs/PROFILE_TRAIN.md): ~2.7 GB
+# written + 5.4 GB read/added per step for gradients whose final size is 4 KB.
+# This op's backward instead reduces ds directly into the per-bucket tables
+# inside the kernel (one-hot matmuls on the MXU, accumulated across the whole
+# grid like dk/dv) — the bias cotangent never exists in HBM.
+# ---------------------------------------------------------------------------
+
+def _attn_bwd_packed_tables_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    pos_ref, cx_ref, cy_ref,
+    dq_ref, dk_ref, dv_ref, dt1_ref, dtx_ref, dty_ref,
+    ds_scratch,
+    *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
+    num_heads: int, block_q: int, block_k: int,
+    rel_bins: int, max_rel: int, rel2d_bins: int, max_rel2d: int,
+):
+    """Packed fused backward that reduces the bias cotangent into the three
+    relative-position tables in-kernel. Grid (b, head-group, q-block), j
+    innermost: dk/dv accumulate per (b, group) exactly as in
+    _attn_bwd_packed_kernel; the (bins, H) table accumulators use a constant
+    index map so they stay VMEM-resident across the ENTIRE grid (the
+    _table_grads_kernel pattern) — every cell adds its head group's
+    contribution via a full-block (bins, hp) @ (hp, H) head-selection matmul
+    (no dynamic lane-slice stores on revisited buffers)."""
+    from multi_modal_early_exit_tpu.ops.fused_bias_attention import _bucket
+
+    b_idx = pl.program_id(0)
+    hg = pl.program_id(1)
+    j = pl.program_id(2)
+    width = heads_per_cell * head_dim
+    cols = (
+        slice(None) if width == q_ref.shape[-1]
+        else pl.ds(hg * width, width)
+    )
+    qg = q_ref[0, :, cols]                               # (Bq, hp*D)
+    kg = k_ref[0, :, cols]                               # (S, hp*D)
+    vg = v_ref[0, :, cols]
+    dog = do_ref[0, :, cols]
+
+    @pl.when(j == 0)
+    def _init_kv():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    @pl.when((b_idx == 0) & (hg == 0) & (j == 0))
+    def _init_tables():
+        dt1_ref[:] = jnp.zeros_like(dt1_ref)
+        dtx_ref[:] = jnp.zeros_like(dtx_ref)
+        dty_ref[:] = jnp.zeros_like(dty_ref)
+
+    dq_parts = []
+    dk_parts = []
+    dv_parts = []
+    for e in range(heads_per_cell):
+        lo, hi = e * head_dim, (e + 1) * head_dim
+        q, k, v, do = qg[:, lo:hi], kg[:, lo:hi], vg[:, lo:hi], dog[:, lo:hi]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias_ref[0, e].astype(jnp.float32)    # (Bq, S)
+        p = jnp.exp(s - lse_ref[0, e])
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            bh = b_idx * num_heads + (hg * heads_per_cell + e)
+            c = _dropout_scale_tile(
+                seed_ref[0], bh, j * block_q, 0, p.shape, rate
+            )
+            p_dropped = p * c
+            dp = dp * c
+        else:
+            p_dropped = p
+        ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
+        # pad rows/cols carry ds == 0 by construction (do rows are 0-padded
+        # and padded-key bias is -inf so p underflows) — safe to bucket-sum
+        # the whole tile. bf16 stash = the dtype the dbias tensor had.
+        ds_scratch[e] = ds.astype(ds_scratch.dtype)
+        ds_c = ds.astype(q.dtype)
+        p_c = p_dropped.astype(do.dtype)
+        dq_parts.append(
+            jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+        )
+        dk_parts.append(jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dv_parts.append(jax.lax.dot_general(
+            p_c, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    dq_ref[0, 0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jnp.concatenate(dk_parts, -1)
+    dv_ref[0, 0] += jnp.concatenate(dv_parts, -1)
+
+    # ---- bucket-sum ds into the table accumulators ----
+    s_pad = pos_ref.shape[2]
+    h_total = dt1_ref.shape[1]
+    rows = pl.ds(j * block_q, block_q)
+    pos_r = pos_ref[0, 0, rows]
+    cx_r = cx_ref[0, 0, rows]
+    cy_r = cy_ref[0, 0, rows]
+    # head-selection matrix: sel[e, h] = 1 where h == hg*hp + e, so the
+    # (bins, hp) partial lands in this group's columns of the (bins, H)
+    # accumulator through a full-block matmul
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (heads_per_cell, h_total), 1)
+        == hg * heads_per_cell
+        + jax.lax.broadcasted_iota(jnp.int32, (heads_per_cell, h_total), 0)
+    ).astype(ds_scratch.dtype)
+
+    n_cb = s_pad // block_k
+
+    def col_body(cb, _):
+        ccols = pl.ds(cb * block_k, block_k)
+        gt = ds_scratch[:, :, ccols].reshape(heads_per_cell, -1)  # (hp, bq*bk)
+
+        def accumulate(out_ref, vec_r, vec_c, bins, max_d):
+            buckets = _bucket(vec_c[None, :] - vec_r[:, None], bins, max_d)
+            onehot = (
+                buckets[None, :, :]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (bins, block_q, block_k), 0
+                )
+            ).astype(gt.dtype).reshape(bins, -1)
+            partial = jax.lax.dot_general(
+                onehot, gt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bins, hp)
+            out_ref[:] = out_ref[:] + jax.lax.dot_general(
+                partial.astype(sel.dtype), sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        accumulate(dt1_ref, pos_r, pos_ref[0, 0, ccols], rel_bins, max_rel)
+        accumulate(dtx_ref, cx_r, cx_ref[0, 0, ccols], rel2d_bins, max_rel2d)
+        accumulate(dty_ref, cy_r, cy_ref[0, 0, ccols], rel2d_bins, max_rel2d)
+        return 0
+
+    jax.lax.fori_loop(0, n_cb, col_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "rate", "rel_bins", "max_rel",
+                     "rel2d_bins", "max_rel2d"),
+)
+def _flash_packed_bwd_tables_impl(
+    q, k, v, bias, pos, cx, cy, seed, o, lse, g,
+    num_heads: int, block_q: int, rate: float,
+    rel_bins: int, max_rel: int, rel2d_bins: int, max_rel2d: int,
+):
+    b, s, hd = q.shape
+    d = hd // num_heads
+    hp = _packed_head_groups(num_heads, d)
+    s_pad, block_q = _tile_width(s, bias.shape[-1], block_q)
+    # table-grad column-block width: 128 on real inputs (model pre-pads to a
+    # lane multiple; dynamic lane offsets must be 128-aligned); smaller
+    # tiling only arises on tiny interpret-mode test shapes
+    block_k = 128 if s_pad % 128 == 0 else math.gcd(s_pad, 128)
+    qp = _pad_to(q, 1, s_pad)
+    kp = _pad_to(k, 1, s_pad)
+    vp = _pad_to(v, 1, s_pad)
+    gp = _pad_to(g, 1, s_pad)
+    op = _pad_to(o, 1, s_pad)
+    bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
+    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)
+    posp = _pad_to(pos.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cxp = _pad_to(cx.astype(jnp.int32), 1, s_pad)[:, None, :]
+    cyp = _pad_to(cy.astype(jnp.int32), 1, s_pad)[:, None, :]
+    delta = (
+        (gp.astype(jnp.float32) * op.astype(jnp.float32))
+        .reshape(b, s_pad, num_heads, d)
+        .sum(-1)
+        .transpose(0, 2, 1)[..., None]
+    )  # (B, H, S_pad, 1)
+
+    n_hg = num_heads // hp
+    width = hp * d
+    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, hh, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, hh, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, hp, block_q, 1),
+                            lambda i, hh, j: (i, hh, j, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
+                             lambda i, hh, j: (i, hh, j, 0),
+                             memory_space=pltpu.VMEM)
+    posvec_spec = pl.BlockSpec((1, 1, s_pad), lambda i, hh, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    dq_spec = pl.BlockSpec((1, 1, block_q, width),
+                           lambda i, hh, j: (i, hh, j, 0),
+                           memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, 1, s_pad, width),
+                            lambda i, hh, j: (i, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = lambda bins: pl.BlockSpec(  # noqa: E731
+        (bins, num_heads), lambda i, hh, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    dq4, dk4, dv4, dt1, dtx, dty = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_packed_tables_kernel, scale=1.0 / math.sqrt(d),
+            rate=rate, head_dim=d, heads_per_cell=hp, num_heads=num_heads,
+            block_q=block_q, block_k=block_k,
+            rel_bins=rel_bins, max_rel=max_rel,
+            rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), q.dtype),
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((rel_bins, num_heads), jnp.float32),
+            jax.ShapeDtypeStruct((rel2d_bins, num_heads), jnp.float32),
+            jax.ShapeDtypeStruct((rel2d_bins, num_heads), jnp.float32),
+        ],
+        grid_spec=pl.GridSpec(
+            grid=(b, n_hg, s_pad // block_q),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                row_spec,     # q rows
+                full_spec,    # k
+                full_spec,    # v
+                bias_spec,    # bias tile
+                row_spec,     # do rows
+                vec_spec,     # lse
+                vec_spec,     # delta
+                posvec_spec,  # pos
+                posvec_spec,  # cx
+                posvec_spec,  # cy
+            ],
+            out_specs=[
+                dq_spec,
+                acc_spec,               # dk accumulator (per (b, group))
+                acc_spec,               # dv accumulator
+                table_spec(rel_bins),   # dt1 (resident across whole grid)
+                table_spec(rel2d_bins),  # dtx
+                table_spec(rel2d_bins),  # dty
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hp, block_q, s_pad), bias.dtype),  # ds stash
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * s_pad * s_pad * hd
+            + 2 * b * s_pad * s_pad * (rel_bins + 2 * rel2d_bins) * num_heads,
+            bytes_accessed=(
+                6 * b * s_pad * hd * qp.dtype.itemsize
+                + b * num_heads * s_pad * s_pad * bp.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+    )(seed, qp, kp, vp, bp, gp, lsep, delta, posp, cxp, cyp)
+
+    def merge(x):  # (B, n_hg, S_pad, width) -> (B, S_pad, hd)
+        return x.transpose(0, 2, 1, 3).reshape(b, s_pad, hd)
+
+    dq = merge(dq4)[:, :s, :]
+    dk = merge(dk4)[:, :s, :].astype(k.dtype)
+    dv = merge(dv4)[:, :s, :].astype(v.dtype)
+    return dq, dk, dv, dt1, dtx, dty
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16, 17)
+)
+def flash_attention_packed_train_tables(
+    q: jax.Array,      # (B, S, H*D)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,   # (B, H, S', S') materialized ONCE per step (no grad)
+    t1: jax.Array,     # (rel_bins, H) f32 scaled tables — gradient receivers
+    tx: jax.Array,     # (rel2d_bins, H)
+    ty: jax.Array,     # (rel2d_bins, H)
+    pos: jax.Array,    # (B, S) int32
+    cx: jax.Array,     # (B, S) int32
+    cy: jax.Array,     # (B, S) int32
+    seed: jax.Array,   # (1,) int32
+    num_heads: int,
+    block_q: int = 256,
+    rate: float = 0.0,
+    rel_bins: int = 32,
+    max_rel: int = 128,
+    rel2d_bins: int = 64,
+    max_rel2d: int = 256,
+) -> jax.Array:
+    """Training attention whose backward produces TABLE gradients directly.
+
+    Forward = ``flash_attention_packed_train`` (the materialized ``bias`` is
+    read per layer — cheaper than per-layer in-kernel rebuild at these
+    shapes). Backward reduces ds straight into (bins, H) cotangents for
+    ``t1``/``tx``/``ty`` via one-hot matmuls accumulated across the grid:
+    the (B, H, S, S) bias cotangent never exists. CALLER CONTRACT: ``bias``
+    must equal the broadcast of (t1, tx, ty) over (pos, cx, cy) plus the
+    padding mask (i.e. what ``materialize_bias``/``make_attention_bias``
+    builds from the same operands) — the VJP differentiates through that
+    relationship analytically. ``bias`` itself receives no cotangent; pass
+    it through ``jax.lax.stop_gradient``."""
+    out, _ = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return out
+
+
+def _packed_tables_fwd(
+    q, k, v, bias, t1, tx, ty, pos, cx, cy, seed,
+    num_heads, block_q, rate, rel_bins, max_rel, rel2d_bins, max_rel2d,
+):
+    out, lse = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return out, (q, k, v, bias, pos, cx, cy, seed, out, lse)
+
+
+def _packed_tables_bwd(
+    num_heads, block_q, rate, rel_bins, max_rel, rel2d_bins, max_rel2d,
+    residuals, g,
+):
+    q, k, v, bias, pos, cx, cy, seed, o, lse = residuals
+    dq, dk, dv, dt1, dtx, dty = _flash_packed_bwd_tables_impl(
+        q, k, v, bias, pos, cx, cy, seed, o, lse, g,
+        num_heads, block_q, rate, rel_bins, max_rel, rel2d_bins, max_rel2d,
+    )
+    return (dq, dk, dv, None, dt1, dtx, dty, None, None, None, None)
+
+
+flash_attention_packed_train_tables.defvjp(
+    _packed_tables_fwd, _packed_tables_bwd
+)
 
 
 def _packed_fwd(q, k, v, bias, num_heads, block_q):

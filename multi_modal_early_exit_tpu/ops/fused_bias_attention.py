@@ -122,14 +122,15 @@ def _kernel(
 
         def head_body(h, _):
             # leading (untiled) dims allow dynamic indexing; lane/sublane
-            # slices stay static
-            q = q_ref[0, h].astype(jnp.float32) * scale
-            k = k_ref[0, h].astype(jnp.float32)
+            # slices stay static. Matmul at the input dtype (bf16 operands
+            # use the native MXU mode), scale applied to the f32 scores.
+            q = q_ref[0, h]
+            k = k_ref[0, h]
             v = v_ref[0, h]
             sc = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * scale
             sc = sc + bias_scratch[h].astype(jnp.float32)
             m = jnp.max(sc, axis=-1, keepdims=True)
             p = jnp.exp(sc - m)

@@ -336,6 +336,70 @@ def _run_checks() -> None:
 
     record("fused_bias_attention_bf16", 6e-2, fused_bias)
 
+    # ---- 10. packed-train TABLES op: in-kernel table gradients ------------
+    # dq/dk/dv vs the hash-dropout oracle (absolute, as check 8) and the
+    # (bins, H) table cotangents vs jax.grad THROUGH a differentiable jnp
+    # bias build (relative — table grads sum ~B*S^2 terms)
+    def packed_tables(env):
+        (q, k, v, gw, pos, bbox, mask, seed, bias32, bias16,
+         bias32s, bias16s, params) = _unpack(env)
+        scale = 1.0 / math.sqrt(D)
+        qp = q.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        kp = k.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        vp = v.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        gwp = gw.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        T1 = params["encoder"]["rel_pos_bias"].astype(jnp.float32) * scale
+        Tx = params["encoder"]["rel_pos_x_bias"].astype(jnp.float32) * scale
+        Ty = params["encoder"]["rel_pos_y_bias"].astype(jnp.float32) * scale
+        cx, cy = bbox[:, :, 0], bbox[:, :, 3]
+
+        def loss_k(a, b, c, t1, tx, ty):
+            out = fa.flash_attention_packed_train_tables(
+                a, b, c, bias16, t1, tx, ty, pos, cx, cy, seed, H,
+                rate=rate, rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
+                rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
+            )
+            return (out * gwp).sum().astype(jnp.float32)
+
+        def build(t1, tx, ty):
+            def tb(table, vec, bins, max_d):
+                rel = vec[:, None, :] - vec[:, :, None]
+                buckets = fba._bucket(rel, bins, max_d)
+                return table[buckets].transpose(0, 3, 1, 2)
+
+            bias = (
+                tb(t1, pos, cfg.rel_pos_bins, cfg.max_rel_pos)
+                + tb(tx, cx, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos)
+                + tb(ty, cy, cfg.rel_2d_pos_bins, cfg.max_rel_2d_pos)
+            )
+            bias = bias + jnp.where(
+                mask == 0, jnp.finfo(jnp.float32).min, 0.0
+            )[:, None, None, :]
+            return bias.astype(jnp.bfloat16)
+
+        def loss_r(a, b, c, t1, tx, ty):
+            out = fa.reference_attention_hash_dropout(
+                a.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                b.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                c.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                build(t1, tx, ty), seed, rate,
+            ).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+            return (out * gwp).sum().astype(jnp.float32)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(qp, kp, vp, T1, Tx, Ty)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(qp, kp, vp, T1, Tx, Ty)
+        errs = [_err(a, b) for a, b in zip(gk[:3], gr[:3])]
+        # table grads: normalize by the oracle's max magnitude
+        terrs = [_err(a, b) for a, b in zip(gk[3:], gr[3:])]
+        tnorm = jnp.max(jnp.stack([e[0] / (e[1] + 1.0) for e in terrs]))
+        return (
+            jnp.maximum(jnp.max(jnp.stack([e[0] for e in errs])), tnorm),
+            jnp.max(jnp.stack([e[1] for e in errs])),
+            jnp.all(jnp.stack([e[2] for e in errs + terrs])),
+        )
+
+    record("packed_train_tables_grads_bf16", 1e-1, packed_tables)
+
     all_ok = all(c["ok"] for c in checks)
     artifact = {
         "platform": str(jax.devices()[0]),

@@ -438,3 +438,149 @@ def test_packed_train_raises_on_untileable_bias():
         fa.flash_attention_packed_train(
             qp, kp, vp, bias, seed, h, block_q=48, rate=0.25
         )
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+def test_packed_train_tables_grads_match_reference(rate):
+    """flash_attention_packed_train_tables: dq/dk/dv AND the in-kernel
+    (bins, H) table gradients must equal jax.grad of the jnp composition
+    that builds the bias from the tables (the analytical relationship the
+    op's caller contract requires)."""
+    from multi_modal_early_exit_tpu.ops.fused_bias_attention import _bucket
+
+    rng = np.random.default_rng(40)
+    b, h, s, d = 2, 4, 24, 16
+    hd = h * d
+    rel_bins, max_rel, rel2d_bins, max_rel2d = 8, 16, 8, 32
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    t1 = jnp.asarray(rng.standard_normal((rel_bins, h)), jnp.float32)
+    tx = jnp.asarray(rng.standard_normal((rel2d_bins, h)), jnp.float32)
+    ty = jnp.asarray(rng.standard_normal((rel2d_bins, h)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 50, (b, s)), jnp.int32)
+    cx = jnp.asarray(rng.integers(0, 100, (b, s)), jnp.int32)
+    cy = jnp.asarray(rng.integers(0, 100, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32).at[1, -5:].set(0)
+    seed = jnp.asarray([3], jnp.int32)
+
+    def build_bias(t1, tx, ty):
+        def table_bias(table, vec, bins, max_d):
+            rel = vec[:, None, :] - vec[:, :, None]  # key minus query
+            return table[_bucket(rel, bins, max_d)].transpose(0, 3, 1, 2)
+
+        bias = (
+            table_bias(t1, pos, rel_bins, max_rel)
+            + table_bias(tx, cx, rel2d_bins, max_rel2d)
+            + table_bias(ty, cy, rel2d_bins, max_rel2d)
+        )
+        return bias + jnp.where(mask == 0, -1e30, 0.0)[:, None, None, :]
+
+    def split(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def loss_op(q, k, v, t1, tx, ty):
+        bias = jax.lax.stop_gradient(build_bias(t1, tx, ty))
+        out = fa.flash_attention_packed_train_tables(
+            q, k, v, bias, t1, tx, ty, pos, cx, cy, seed, h, block_q=8,
+            rate=rate, rel_bins=rel_bins, max_rel=max_rel,
+            rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
+        )
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v, t1, tx, ty):
+        bias = build_bias(t1, tx, ty)
+        if rate > 0.0:
+            out = fa.reference_attention_hash_dropout(
+                split(q), split(k), split(v), bias, seed, rate
+            )
+        else:
+            out = fa.reference_attention(split(q), split(k), split(v), bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, hd)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    go = jax.grad(loss_op, argnums=(0, 1, 2, 3, 4, 5))(qp, kp, vp, t1, tx, ty)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(qp, kp, vp, t1, tx, ty)
+    for a, b_ in zip(go, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, rtol=2e-3
+        )
+    # the forward itself equals the plain packed-train kernel
+    bias = build_bias(t1, tx, ty)
+    want = fa.flash_attention_packed_train(
+        qp, kp, vp, bias, seed, h, block_q=8, rate=rate
+    )
+    got = fa.flash_attention_packed_train_tables(
+        qp, kp, vp, bias, t1, tx, ty, pos, cx, cy, seed, h, block_q=8,
+        rate=rate, rel_bins=rel_bins, max_rel=max_rel,
+        rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_train_bias_context_wiring_matches_xla_path(monkeypatch):
+    """Model-level wiring of the in-kernel-table-gradient path: with a bf16
+    model and flash forced on (interpret mode), backbone_apply builds a
+    TrainBiasContext for the non-deterministic pass and jax.grad of the EE
+    loss — including the relative-position TABLE grads — matches the XLA
+    composition. Dropout probs are zeroed so both paths are deterministic
+    (the kernels' position-hash attention dropout is a different stream
+    from jax.random by design)."""
+    import dataclasses
+
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.training.losses import ee_loss_fn
+
+    bb = dataclasses.replace(
+        LayoutLMv3Config.tiny(num_labels=4),
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        classifier_dropout=0.0,
+    )
+    cfg = EEModelConfig(backbone=bb, exit=ExitConfig(exits=("text_avg", 1)))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x,
+        init_ee_params(jax.random.key(0), cfg),
+    )
+    rng = np.random.default_rng(17)
+    B, S = 2, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        "bbox": jnp.asarray(
+            np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32
+        ),
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 32)), jnp.float32
+        ),
+        "attention_mask": jnp.ones((B, S), jnp.int32).at[1, -4:].set(0),
+        "labels": jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32),
+    }
+
+    def grads():
+        (_, _), g = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+            params, cfg, batch, rng=jax.random.key(3), deterministic=False,
+        )
+        return g
+
+    g_xla = grads()
+    monkeypatch.setattr(fa, "use_flash_attention", lambda: True)
+    monkeypatch.setenv("MMEE_TABLE_GRADS", "1")
+    g_flash = grads()
+
+    # the branch actually taken must be the TrainBiasContext one
+    from multi_modal_early_exit_tpu.models.layoutlmv3 import modeling as m
+    assert m.use_fused_bias_attention() is False  # sanity: not that branch
+
+    flat_x = jax.tree_util.tree_flatten_with_path(g_xla)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_flash)[0]
+    for (path, a), (_, b_) in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=3e-2, rtol=3e-2, err_msg=str(path),
+        )
