@@ -23,11 +23,13 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multi_modal_early_exit_tpu.models.layoutlmv3.config import LayoutLMv3Config
 
@@ -58,12 +60,53 @@ def init_layer_norm(d: int, dtype=jnp.float32) -> Params:
 
 
 def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
-    # Compute moments in float32 for bf16 safety.
+    return _layer_norm_core(x, p["scale"], p["bias"], float(eps))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_core(x, scale, bias, eps: float):
+    """LayerNorm with f32 moments and a hand-written VJP.
+
+    Autodiff of the naive form makes XLA save the f32 upcast AND the f32
+    normalized tensor per call — at the training budget that is 2 full-size
+    f32 residuals per LN per layer streamed to HBM and back (profiled as the
+    f32 (L,B,S,H) stacks in docs/PROFILE_TRAIN.md). The custom VJP saves
+    only the (narrow) input and the (B,S,1) moments and recomputes the
+    normalized tensor on the fly in the backward."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _layer_norm_fwd(x, scale, bias, eps: float):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * rsig
+    out = (y * scale + bias).astype(x.dtype)
+    return out, (x, mean, rsig, scale)
+
+
+def _layer_norm_bwd(eps: float, res, g):
+    x, mean, rsig, scale = res
+    gf = g.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * rsig
+    reduce_dims = tuple(range(x.ndim - 1))
+    dscale = jnp.sum(gf * xhat, axis=reduce_dims).astype(scale.dtype)
+    dbias = jnp.sum(gf, axis=reduce_dims).astype(scale.dtype)
+    gs = gf * scale.astype(jnp.float32)
+    dx = rsig * (
+        gs
+        - jnp.mean(gs, axis=-1, keepdims=True)
+        - xhat * jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dscale, dbias
+
+
+_layer_norm_core.defvjp(_layer_norm_fwd, _layer_norm_bwd)
 
 
 def dropout(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
@@ -75,6 +118,35 @@ def dropout(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
     from multi_modal_early_exit_tpu.ops.hashing import hash_dropout
 
     return hash_dropout(x, rate, rng)
+
+
+@jax.custom_vjp
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU with a recompute VJP.
+
+    Autodiff of ``jax.nn.gelu(approximate=False)`` makes XLA save FOUR
+    full-size residuals per MLP (pre-activation, erfc, exp, output — the
+    bf16 (L,B,S,4H) stacks in docs/PROFILE_TRAIN.md). This saves only the
+    pre-activation and recomputes the two transcendentals in the backward:
+    ~5 GB/step less HBM residual traffic for ~2 ms of VPU recompute at the
+    reference budget."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_fwd(x):
+    return jax.nn.gelu(x, approximate=False), x
+
+
+def _gelu_bwd(x, g):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * jax.lax.erfc(-xf * np.float32(1.0 / math.sqrt(2)))
+    pdf = jnp.exp(-0.5 * jnp.square(xf)) * np.float32(
+        1.0 / math.sqrt(2.0 * math.pi)
+    )
+    return ((g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
+
+
+gelu_exact.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 class RngStream:
@@ -389,6 +461,38 @@ def attention_apply(
         use_flash_attention,
     )
 
+    if isinstance(attn_bias, ChainedBiasContext) and use_flash_attention():
+        # chained-dbias training path: returns (layer output, passed-through
+        # bias); the caller (encoder scan) carries the bias so the backward
+        # accumulates the bias cotangent in kernel
+        from multi_modal_early_exit_tpu.ops.flash_attention import (
+            flash_attention_packed_train_chained,
+        )
+
+        qp = linear(p["query"], hidden)
+        kp = linear(p["key"], hidden)
+        vp = linear(p["value"], hidden)
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        if rate > 0.0 and rng_attn is None:
+            rate = 0.0
+        if rate > 0.0:
+            seed = jax.random.randint(
+                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        ctx, bias_out = flash_attention_packed_train_chained(
+            qp, kp, vp, attn_bias.bias, seed, cfg.num_attention_heads,
+            rate=rate,
+        )
+        ctx = ctx.astype(hidden.dtype)
+        out = linear(p["output"], ctx)
+        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
+        attn_out = layer_norm(
+            p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps
+        )
+        return attn_out, ChainedBiasContext(bias_out)
+
     if isinstance(attn_bias, TrainBiasContext) and use_flash_attention():
         # training path with in-kernel table gradients: the backward reduces
         # ds directly into the (bins, H) tables — no (B,H,S,S) dbias
@@ -422,7 +526,9 @@ def attention_apply(
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
 
     if (
-        not isinstance(attn_bias, (FusedBiasContext, TrainBiasContext))
+        not isinstance(
+            attn_bias, (FusedBiasContext, TrainBiasContext, ChainedBiasContext)
+        )
         and attn_bias is not None
         and attn_bias.shape[1] == cfg.num_attention_heads
         and use_flash_attention()
@@ -480,6 +586,12 @@ def attention_apply(
         out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
         return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
 
+    was_chained = isinstance(attn_bias, ChainedBiasContext)
+    if was_chained:
+        # defensive: flash was disabled between build and apply — compose
+        # in XLA and pass the bias through (accumulation falls back to the
+        # autodiff add)
+        attn_bias = attn_bias.bias
     if isinstance(attn_bias, TrainBiasContext):
         # defensive: a TrainBiasContext only reaches here if flash was
         # disabled between build and apply; its bias is stop-gradient, so
@@ -512,7 +624,10 @@ def attention_apply(
 
     out = linear(p["output"], ctx)
     out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-    return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+    out = layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+    if was_chained:
+        return out, ChainedBiasContext(attn_bias)
+    return out
 
 
 def encoder_layer_apply(
@@ -527,10 +642,16 @@ def encoder_layer_apply(
     attn_out = attention_apply(
         p["attention"], cfg, hidden, attn_bias, deterministic, r[0], r[1]
     )
-    inter = jax.nn.gelu(linear(p["intermediate"], attn_out), approximate=False)
+    chained_bias = None
+    if isinstance(attn_bias, ChainedBiasContext):
+        attn_out, chained_bias = attn_out
+    inter = gelu_exact(linear(p["intermediate"], attn_out))
     out = linear(p["output"], inter)
     out = dropout(out, cfg.hidden_dropout_prob, deterministic, r[2])
-    return layer_norm(p["output_LayerNorm"], out + attn_out, cfg.layer_norm_eps)
+    out = layer_norm(p["output_LayerNorm"], out + attn_out, cfg.layer_norm_eps)
+    if chained_bias is not None:
+        return out, chained_bias
+    return out
 
 
 def encoder_apply(
@@ -556,26 +677,43 @@ def encoder_apply(
     else:
         layer_rngs = None
 
+    chained = isinstance(attn_bias, ChainedBiasContext)
+
     def body(carry, xs):
-        h = carry
+        if chained:
+            # the bias rides the scan carry: each layer's backward folds its
+            # bias cotangent into the carried accumulator in kernel
+            h, bias_arr = carry
+            layer_bias = ChainedBiasContext(bias_arr)
+        else:
+            h = carry
+            layer_bias = attn_bias
         if layer_rngs is not None:
             layer_p, rs = xs
             rs = tuple(rs)
         else:
             layer_p, rs = xs, None
-        h = encoder_layer_apply(layer_p, cfg, h, attn_bias, deterministic, rs)
+        h = encoder_layer_apply(layer_p, cfg, h, layer_bias, deterministic, rs)
+        if chained:
+            h, bias_ctx = h
+            carry = (h, bias_ctx.bias)
+        else:
+            carry = h
         ys = {}
         if collect_cls:
             ys["cls"] = h[:, 0, :]
         if collect_hidden:
             ys["hidden"] = h
-        return h, ys
+        return carry, ys
 
     if cfg.gradient_checkpointing:
         body = jax.checkpoint(body)
 
     xs = (p["layers"], layer_rngs) if layer_rngs is not None else p["layers"]
-    final, ys = jax.lax.scan(body, hidden, xs)
+    init = (hidden, attn_bias.bias) if chained else hidden
+    final, ys = jax.lax.scan(body, init, xs)
+    if chained:
+        final = final[0]
     return final, ys.get("cls"), ys.get("hidden")
 
 
@@ -623,6 +761,18 @@ def init_params(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
     return params
 
 
+class ChainedBiasContext(NamedTuple):
+    """Training-path marker: carry the (pre-padded, materialized) bias
+    through the encoder scan so each layer's attention backward adds its
+    bias cotangent into the running accumulator IN KERNEL
+    (ops/flash_attention.flash_attention_packed_train_chained) instead of
+    emitting a fresh (B,H,S,S) dbias for a separate XLA select_add pass.
+    The bias stays differentiable — the accumulated cotangent flows into
+    the bias builder's VJP (one bucket reduction per step)."""
+
+    bias: jax.Array  # (B, H, P, P)
+
+
 class TrainBiasContext(NamedTuple):
     """Training-path bias bundle for the in-kernel-table-gradient attention
     (ops/flash_attention.flash_attention_packed_train_tables): the bias is
@@ -667,6 +817,23 @@ def use_table_grad_attention(default: bool = False) -> bool:
     import os
 
     flag = os.environ.get("MMEE_TABLE_GRADS")
+    if flag == "0":
+        return False
+    if flag:
+        return True
+    return default
+
+
+def use_chained_dbias(default: bool = False) -> bool:
+    """Chained-dbias training attention (the encoder scan carries the bias;
+    each layer's backward adds its ds into the carried cotangent in kernel).
+    MMEE_CHAINED_DBIAS=1 opts in; measured default is OFF: carrying the
+    (B,H,S,S) bias through the forward scan costs more (XLA inserts carry
+    copies) than the in-kernel add saves over the select_add pass
+    (134 -> 125 docs/sec at the reference budget)."""
+    import os
+
+    flag = os.environ.get("MMEE_CHAINED_DBIAS")
     if flag == "0":
         return False
     if flag:
@@ -919,10 +1086,11 @@ def backbone_apply(
                 dtype=combined.dtype,
             )
             if not deterministic and use_table_grad_attention():
-                # training: hand the layers the raw table/position operands
-                # so the attention backward reduces the bias cotangent into
-                # the tables in-kernel (no (B,H,S,S) dbias round-trip); the
-                # materialized bias itself carries no gradient
+                # training escape hatch: hand the layers the raw
+                # table/position operands so the attention backward reduces
+                # the bias cotangent into the tables in-kernel (no (B,H,S,S)
+                # cotangent tensors at all); the materialized bias itself
+                # carries no gradient
                 scale = 1.0 / math.sqrt(cfg.head_dim)
                 enc = params["encoder"]
                 attn_bias = TrainBiasContext(
@@ -934,6 +1102,11 @@ def backbone_apply(
                     tx=enc["rel_pos_x_bias"].astype(jnp.float32) * scale,
                     ty=enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
                 )
+            elif not deterministic and use_chained_dbias():
+                # training default: chain the bias through the scan so each
+                # layer's backward accumulates its bias cotangent in kernel
+                # (kills the per-layer dbias write + select_add pass)
+                attn_bias = ChainedBiasContext(attn_bias)
         else:
             bias_pad_to = None
             if flash_eligible and combined.shape[1] % DEFAULT_BLOCK_Q:

@@ -609,11 +609,17 @@ def _attn_fwd_packed_train_kernel(
 
 def _attn_bwd_packed_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dbias_ref, dk_ref, dv_ref,
-    *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
-    num_heads: int, block_q: int,
+    *refs,
+    scale: float, rate: float, head_dim: int, heads_per_cell: int,
+    num_heads: int, block_q: int, chained: bool = False,
 ):
     """Packed-layout fused backward, grid (b, head-group, q-block).
+
+    ``chained``: an incoming bias-cotangent tile (the running cross-layer
+    accumulator) is supplied and the kernel emits ``gbias + ds`` in place
+    (the caller aliases the accumulator buffer onto the dbias output), so
+    the encoder's per-layer bias-cotangent accumulation costs one in-kernel
+    add instead of a separate (B,H,S,S) write + XLA select_add pass.
 
     The q-block dim is INNERMOST so the per-(b, head-group) dk/dv f32
     accumulator blocks are revisited consecutively and accumulate in VMEM
@@ -623,6 +629,11 @@ def _attn_bwd_packed_kernel(
     that combination miscompiled to NaN dk/dv on real TPUs while passing in
     interpret mode). One probability recompute per head serves
     dq/dbias/dk/dv."""
+    if chained:
+        gbias_ref, dq_ref, dbias_ref, dk_ref, dv_ref = refs
+    else:
+        gbias_ref = None
+        dq_ref, dbias_ref, dk_ref, dv_ref = refs
     b_idx = pl.program_id(0)
     hg = pl.program_id(1)
     j = pl.program_id(2)
@@ -639,8 +650,8 @@ def _attn_bwd_packed_kernel(
 
     @pl.when(j == 0)
     def _init():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     dq_parts = []
     dk_parts = []
@@ -665,7 +676,12 @@ def _attn_bwd_packed_kernel(
         else:
             p_dropped = p
         ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
-        dbias_ref[0, e] = ds.astype(dbias_ref.dtype)
+        if chained:
+            dbias_ref[0, e] = (
+                gbias_ref[0, e].astype(jnp.float32) + ds
+            ).astype(dbias_ref.dtype)
+        else:
+            dbias_ref[0, e] = ds.astype(dbias_ref.dtype)
         ds_c = ds.astype(q.dtype)
         p_c = p_dropped.astype(do.dtype)
         dq_parts.append(
@@ -679,9 +695,9 @@ def _attn_bwd_packed_kernel(
             p_c, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
-    dq_ref[0, 0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
-    dk_ref[0, 0] += jnp.concatenate(dk_parts, -1)
-    dv_ref[0, 0] += jnp.concatenate(dv_parts, -1)
+    dq_ref[0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.concatenate(dk_parts, -1)
+    dv_ref[0] += jnp.concatenate(dv_parts, -1)
 
 
 @functools.partial(
@@ -745,7 +761,8 @@ def _flash_packed_train_fwd_impl(
     jax.jit, static_argnames=("num_heads", "block_q", "rate")
 )
 def _flash_packed_bwd_impl(
-    q, k, v, bias, seed, o, lse, g, num_heads: int, block_q: int, rate: float
+    q, k, v, bias, seed, o, lse, g, num_heads: int, block_q: int, rate: float,
+    gbias=None,
 ):
     b, s, hd = q.shape
     d = hd // num_heads
@@ -779,40 +796,59 @@ def _flash_packed_bwd_impl(
     bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
                              lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM)
-    # grouped outputs: every grid cell owns a full block of its head
-    # group's lanes — dq per (group, q-block); dk/dv per group, accumulated
-    # over the innermost j sweep only (the head-form kernel's proven
-    # revisit pattern)
-    dq_spec = pl.BlockSpec((1, 1, block_q, width),
-                           lambda i, hh, j: (i, hh, j, 0),
+    # grouped outputs written DIRECTLY into the packed (B, S, hd) layout:
+    # every grid cell owns a full (lane-dim-blocked) block of its head
+    # group's columns — dq per (group, q-block); dk/dv per group,
+    # accumulated over the innermost j sweep only (the head-form kernel's
+    # proven revisit pattern). Blocking the lane dim in the SPEC keeps all
+    # in-kernel stores full-block (no dynamic lane-slice stores on
+    # revisited buffers) while eliminating the (B, n_hg, S, width) ->
+    # (B, S, hd) XLA transpose passes the old grouped layout needed.
+    dq_spec = pl.BlockSpec((1, block_q, width),
+                           lambda i, hh, j: (i, j, hh),
                            memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((1, 1, s_pad, width),
-                            lambda i, hh, j: (i, hh, 0, 0),
+    acc_spec = pl.BlockSpec((1, s_pad, width),
+                            lambda i, hh, j: (i, 0, hh),
                             memory_space=pltpu.VMEM)
+    chained = gbias is not None
+    operands = [seed, qp, kp, vp, bp, gp, lsep, delta]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        row_spec,   # q rows
+        full_spec,  # k
+        full_spec,  # v
+        bias_spec,  # bias tile
+        row_spec,   # do rows
+        vec_spec,   # lse
+        vec_spec,   # delta
+    ]
+    alias_kwargs = {}
+    if chained:
+        # the incoming cross-layer bias-cotangent accumulator: read the
+        # tile, add ds, write back IN PLACE (aliased onto the dbias output)
+        if gbias.shape != (b, num_heads, s_pad, s_pad):
+            raise ValueError(
+                "chained bias cotangent must be pre-padded to the kernel "
+                f"width: got {gbias.shape}, want {(b, num_heads, s_pad, s_pad)}"
+            )
+        operands.append(gbias.astype(bias.dtype))
+        in_specs.append(bias_spec)
+        alias_kwargs["input_output_aliases"] = {8: 1}
     dq4, dbias, dk4, dv4 = pl.pallas_call(
         functools.partial(
             _attn_bwd_packed_kernel, scale=1.0 / math.sqrt(d), rate=rate,
             head_dim=d, heads_per_cell=hp, num_heads=num_heads,
-            block_q=block_q,
+            block_q=block_q, chained=chained,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
             jax.ShapeDtypeStruct((b, num_heads, s_pad, s_pad), bias.dtype),
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
             grid=(b, n_hg, s_pad // block_q),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-                row_spec,   # q rows
-                full_spec,  # k
-                full_spec,  # v
-                bias_spec,  # bias tile
-                row_spec,   # do rows
-                vec_spec,   # lse
-                vec_spec,   # delta
-            ],
+            in_specs=in_specs,
             out_specs=[
                 dq_spec,    # dq (per group + q-block)
                 bias_spec,  # dbias
@@ -828,14 +864,12 @@ def _flash_packed_bwd_impl(
             ),
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
-    )(seed, qp, kp, vp, bp, gp, lsep, delta)
+        **alias_kwargs,
+    )(*operands)
 
-    def merge(x):  # (B, n_hg, S_pad, width) -> (B, S_pad, hd)
-        return x.transpose(0, 2, 1, 3).reshape(b, s_pad, hd)
-
-    dq = merge(dq4)[:, :s, :]
-    dk = merge(dk4)[:, :s, :].astype(k.dtype)
-    dv = merge(dv4)[:, :s, :].astype(v.dtype)
+    dq = dq4[:, :s, :]
+    dk = dk4[:, :s, :].astype(k.dtype)
+    dv = dv4[:, :s, :].astype(v.dtype)
     dbias = dbias[:, :, : bias.shape[2], : bias.shape[3]]
     return dq, dk, dv, dbias
 
@@ -878,6 +912,64 @@ def _packed_train_bwd(num_heads, block_q, rate, residuals, g):
 
 
 flash_attention_packed_train.defvjp(_packed_train_fwd, _packed_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_attention_packed_train_chained(
+    q: jax.Array,      # (B, S, H*D)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,   # (B, H, P, P) PRE-PADDED to the kernel width
+    seed: jax.Array,   # (1,) int32
+    num_heads: int,
+    block_q: int = 256,
+    rate: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Training attention that CHAINS the bias through the layer.
+
+    Returns ``(out, bias)`` with ``bias`` passed through unchanged (free —
+    XLA aliases the buffer). When the encoder scan carries the bias through
+    every layer this way, autodiff delivers each layer's backward the
+    RUNNING bias-cotangent accumulator as the pass-through output's
+    cotangent; the fused backward kernel adds its ds tile into that buffer
+    in place (``input_output_aliases``). The per-layer (B,H,S,S) dbias
+    write + XLA select_add accumulation pass of the plain op
+    (docs/PROFILE_TRAIN.md, ~20% of the train step) collapses into one
+    in-kernel add. ``bias`` must already be at the kernel's padded width
+    (the model builds it so)."""
+    out, _ = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return out, bias
+
+
+def _packed_chained_fwd(q, k, v, bias, seed, num_heads, block_q, rate):
+    b, s, hd = q.shape
+    s_pad, _ = _tile_width(s, bias.shape[-1], block_q)
+    if bias.shape[-2:] != (s_pad, s_pad):
+        raise ValueError(
+            "flash_attention_packed_train_chained requires a bias pre-padded "
+            f"to the kernel width {s_pad}; got {bias.shape}"
+        )
+    out, lse = _flash_packed_train_fwd_impl(
+        q, k, v, bias, seed, num_heads, block_q, rate
+    )
+    return (out, bias), (q, k, v, bias, seed, out, lse)
+
+
+def _packed_chained_bwd(num_heads, block_q, rate, residuals, g):
+    q, k, v, bias, seed, o, lse = residuals
+    g_out, g_bias = g
+    dq, dk, dv, dbias = _flash_packed_bwd_impl(
+        q, k, v, bias, seed, o, lse, g_out, num_heads, block_q, rate,
+        gbias=g_bias,
+    )
+    return dq, dk, dv, dbias, None
+
+
+flash_attention_packed_train_chained.defvjp(
+    _packed_chained_fwd, _packed_chained_bwd
+)
 
 
 # ---------------------------------------------------------------------------
@@ -928,8 +1020,8 @@ def _attn_bwd_packed_tables_kernel(
 
     @pl.when(j == 0)
     def _init_kv():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     @pl.when((b_idx == 0) & (hg == 0) & (j == 0))
     def _init_tables():
@@ -977,9 +1069,9 @@ def _attn_bwd_packed_tables_kernel(
             p_c, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
-    dq_ref[0, 0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
-    dk_ref[0, 0] += jnp.concatenate(dk_parts, -1)
-    dv_ref[0, 0] += jnp.concatenate(dv_parts, -1)
+    dq_ref[0] = jnp.concatenate(dq_parts, -1).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.concatenate(dk_parts, -1)
+    dv_ref[0] += jnp.concatenate(dv_parts, -1)
 
     # ---- bucket-sum ds into the table accumulators ----
     s_pad = pos_ref.shape[2]
@@ -1077,11 +1169,11 @@ def _flash_packed_bwd_tables_impl(
                              memory_space=pltpu.VMEM)
     posvec_spec = pl.BlockSpec((1, 1, s_pad), lambda i, hh, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    dq_spec = pl.BlockSpec((1, 1, block_q, width),
-                           lambda i, hh, j: (i, hh, j, 0),
+    dq_spec = pl.BlockSpec((1, block_q, width),
+                           lambda i, hh, j: (i, j, hh),
                            memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((1, 1, s_pad, width),
-                            lambda i, hh, j: (i, hh, 0, 0),
+    acc_spec = pl.BlockSpec((1, s_pad, width),
+                            lambda i, hh, j: (i, 0, hh),
                             memory_space=pltpu.VMEM)
     table_spec = lambda bins: pl.BlockSpec(  # noqa: E731
         (bins, num_heads), lambda i, hh, j: (0, 0), memory_space=pltpu.VMEM
@@ -1095,9 +1187,9 @@ def _flash_packed_bwd_tables_impl(
             rel2d_bins=rel2d_bins, max_rel2d=max_rel2d,
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), q.dtype),
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_hg, s_pad, width), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, hd), jnp.float32),
             jax.ShapeDtypeStruct((rel_bins, num_heads), jnp.float32),
             jax.ShapeDtypeStruct((rel2d_bins, num_heads), jnp.float32),
             jax.ShapeDtypeStruct((rel2d_bins, num_heads), jnp.float32),
@@ -1143,12 +1235,9 @@ def _flash_packed_bwd_tables_impl(
         ),
     )(seed, qp, kp, vp, bp, gp, lsep, delta, posp, cxp, cyp)
 
-    def merge(x):  # (B, n_hg, S_pad, width) -> (B, S_pad, hd)
-        return x.transpose(0, 2, 1, 3).reshape(b, s_pad, hd)
-
-    dq = merge(dq4)[:, :s, :]
-    dk = merge(dk4)[:, :s, :].astype(k.dtype)
-    dv = merge(dv4)[:, :s, :].astype(v.dtype)
+    dq = dq4[:, :s, :]
+    dk = dk4[:, :s, :].astype(k.dtype)
+    dv = dv4[:, :s, :].astype(v.dtype)
     return dq, dk, dv, dt1, dtx, dty
 
 

@@ -12,6 +12,8 @@ derive the scalar seed from the JAX key.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -48,19 +50,47 @@ def dropout_uniform(
     return top24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+def _dropout_u(seed: jax.Array, shape) -> jax.Array:
+    n = 1
+    for s in shape:
+        n *= s
+    last = shape[-1] if shape else 1
+    rows = jnp.arange(n // last, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(last, dtype=jnp.int32)[None, :]
+    return dropout_uniform(seed, jnp.int32(0), rows, cols).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_dropout_core(x, seed, rate: float):
+    keep = 1.0 - rate
+    u = _dropout_u(seed, x.shape)
+    return jnp.where(u < keep, x / keep, 0.0).astype(x.dtype)
+
+
+def _hash_dropout_fwd(x, seed, rate: float):
+    # residual = the scalar seed only: the mask is a pure position hash, so
+    # the backward REGENERATES it instead of round-tripping a full-size
+    # mask tensor through HBM (autodiff of the where() saved one per call)
+    return _hash_dropout_core(x, seed, rate), seed
+
+
+def _hash_dropout_bwd(rate: float, seed, g):
+    keep = 1.0 - rate
+    u = _dropout_u(seed, g.shape)
+    return jnp.where(u < keep, g / keep, 0.0).astype(g.dtype), None
+
+
+_hash_dropout_core.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
+
+
 def hash_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     """Dropout with the position-hash mask; drop-in for the bernoulli path.
 
     One scalar ``jax.random.bits`` draw derives the seed from the key; the
-    per-element mask is pure VPU integer math.
+    per-element mask is pure VPU integer math, regenerated (not stored) in
+    the backward.
     """
-    keep = 1.0 - rate
     seed = jax.lax.convert_element_type(
         jax.random.bits(rng, (), jnp.uint32), jnp.int32
     )
-    n = x.size
-    last = x.shape[-1] if x.ndim else 1
-    rows = jnp.arange(n // last, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(last, dtype=jnp.int32)[None, :]
-    u = dropout_uniform(seed, jnp.int32(0), rows, cols).reshape(x.shape)
-    return jnp.where(u < keep, x / keep, 0.0).astype(x.dtype)
+    return _hash_dropout_core(x, seed, float(rate))

@@ -584,3 +584,108 @@ def test_train_bias_context_wiring_matches_xla_path(monkeypatch):
             np.asarray(a, np.float32), np.asarray(b_, np.float32),
             atol=3e-2, rtol=3e-2, err_msg=str(path),
         )
+
+
+def test_chained_dbias_wiring_matches_xla_path(monkeypatch):
+    """The chained-dbias training default (bias carried through the encoder
+    scan, per-layer in-kernel cotangent accumulation): jax.grad of the EE
+    loss — including the relative-position table grads via the bias
+    builder's VJP — matches the XLA composition."""
+    import dataclasses
+
+    from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
+    from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
+    from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
+        EEModelConfig,
+        LayoutLMv3Config,
+    )
+    from multi_modal_early_exit_tpu.training.losses import ee_loss_fn
+
+    bb = dataclasses.replace(
+        LayoutLMv3Config.tiny(num_labels=4),
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        classifier_dropout=0.0,
+    )
+    cfg = EEModelConfig(backbone=bb, exit=ExitConfig(exits=("text_avg", 1)))
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x,
+        init_ee_params(jax.random.key(0), cfg),
+    )
+    rng = np.random.default_rng(23)
+    B, S = 2, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        "bbox": jnp.asarray(
+            np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32
+        ),
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 32)), jnp.float32
+        ),
+        "attention_mask": jnp.ones((B, S), jnp.int32).at[1, -4:].set(0),
+        "labels": jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32),
+    }
+
+    def grads():
+        (_, _), g = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+            params, cfg, batch, rng=jax.random.key(3), deterministic=False,
+        )
+        return g
+
+    g_xla = grads()
+    monkeypatch.setattr(fa, "use_flash_attention", lambda: True)
+    # no MMEE_TABLE_GRADS: the chained-dbias branch is the default
+    g_flash = grads()
+
+    flat_x = jax.tree_util.tree_flatten_with_path(g_xla)[0]
+    flat_f = jax.tree_util.tree_flatten_with_path(g_flash)[0]
+    for (path, a), (_, b_) in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            atol=3e-2, rtol=3e-2, err_msg=str(path),
+        )
+
+
+def test_packed_train_chained_accumulates_bias_cotangent():
+    """The chained op returns (out, bias) and its backward must emit
+    d(bias) = upstream-bias-cotangent + ds — i.e. exactly the plain op's
+    dbias plus whatever gradient flows into the passed-through bias."""
+    rng = np.random.default_rng(51)
+    b, h, s, d = 1, 2, 16, 16
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32)
+    seed = jnp.asarray([7], jnp.int32)
+    rate = 0.25
+
+    def loss_chained(q, k, v, bb):
+        out, bb2 = fa.flash_attention_packed_train_chained(
+            q, k, v, bb, seed, h, block_q=8, rate=rate
+        )
+        return (out.astype(jnp.float32) ** 2).sum() + (bb2 * w2).sum()
+
+    def loss_plain(q, k, v, bb):
+        out = fa.flash_attention_packed_train(
+            q, k, v, bb, seed, h, block_q=8, rate=rate
+        )
+        return (out.astype(jnp.float32) ** 2).sum() + (bb * w2).sum()
+
+    gc = jax.grad(loss_chained, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    for a, b_ in zip(gc, gp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
+        )
+    # forwards agree and the pass-through really is the same values
+    out_c, bias_out = fa.flash_attention_packed_train_chained(
+        qp, kp, vp, bias, seed, h, block_q=8, rate=rate
+    )
+    out_p = fa.flash_attention_packed_train(
+        qp, kp, vp, bias, seed, h, block_q=8, rate=rate
+    )
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_p))
+    np.testing.assert_allclose(np.asarray(bias_out), np.asarray(bias))
