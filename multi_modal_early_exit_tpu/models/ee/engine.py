@@ -71,6 +71,19 @@ class AnytimeEngine:
     ``infer(batch)`` returns (final_logits (B,K), exit_ids (B,)) where each
     sample's logits come from the exit that claimed it — the live
     counterpart of ``Policy.max_confidence_global_thresholding_policy``.
+
+    .. deprecated:: serving
+        DEPRECATED for serving — use ``models/ee/cascade.py`` (the
+        single-program capacity-constrained cascade) or ``serving.Pipeline``.
+        Measured head-to-head on the TPU (benchmarks/anytime_bench.py,
+        batch 32): the engine's per-stage host sync + criterion readback put
+        a ~40 docs/sec floor on it REGARDLESS of exit depth (39.3 docs/sec
+        even with 100% of documents exiting at the first embedding head,
+        0.12 GFLOPs/doc), while the cascade does 72.6 docs/sec in the same
+        harness at 240x the FLOPs and 1236 docs/sec dispatch-free. The
+        engine remains the criterion-faithful host-loop implementation
+        (stateful PABEE patience across stages) and an offline
+        store-collection utility.
     """
 
     def __init__(
