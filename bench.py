@@ -282,9 +282,14 @@ def bench_train(batch: int) -> dict:
 # anytime mode: the joint throughput <-> accuracy artifact
 # ---------------------------------------------------------------------------
 
-def _device_split(split: str, n: int, bb, seed_offset: int, seq: int = SEQ):
+def _device_split(
+    split: str, n: int, bb, seed_offset: int, seq: int = SEQ,
+    difficulty: float = 0.0,
+):
     """Synthetic split fully materialized on device: token arrays shipped
-    (a few MB), page images regenerated on device from the labels."""
+    (a few MB), page images regenerated on device from the per-example
+    visual-id vector (equals the label on easy examples; the vision pair's
+    shared id on visually-ambiguous ones — data/datasets.synthetic_tokens)."""
     import jax.numpy as jnp
 
     from multi_modal_early_exit_tpu.data.datasets import (
@@ -294,7 +299,8 @@ def _device_split(split: str, n: int, bb, seed_offset: int, seq: int = SEQ):
     from multi_modal_early_exit_tpu.data.images import preprocess_images
 
     toks = synthetic_tokens(
-        n, num_labels=bb.num_labels, seq_len=seq, seed=42 + 1000 * seed_offset
+        n, num_labels=bb.num_labels, seq_len=seq, seed=42 + 1000 * seed_offset,
+        difficulty=difficulty,
     )
     labels = jax.device_put(toks["labels"])
     data = {
@@ -306,7 +312,10 @@ def _device_split(split: str, n: int, bb, seed_offset: int, seq: int = SEQ):
         ).astype(jnp.int32),
         "labels": labels,
     }
-    images = synthetic_band_images_device(labels, bb.input_size)
+    visual_ids = jax.device_put(toks["visual_ids"].astype(np.int8)).astype(
+        jnp.int32
+    )
+    images = synthetic_band_images_device(visual_ids, bb.input_size)
     data["pixel_values"] = preprocess_images(images, size=bb.input_size)
     return data, toks["labels"]
 
@@ -337,6 +346,11 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     epochs = int(os.environ.get("BENCH_ANYTIME_EPOCHS", 8))
     train_batch = int(os.environ.get("BENCH_ANYTIME_BATCH", 8 if tiny else 16))
     lr = float(os.environ.get("BENCH_ANYTIME_LR", 1e-3 if tiny else 1e-4))
+    # non-saturating task by default: token/visual ambiguity + label noise
+    # (data/datasets.synthetic_tokens) so iso-accuracy operating points are
+    # non-degenerate — full-depth accuracy < 1 and early exits genuinely
+    # cost accuracy (VERDICT r3 #1)
+    difficulty = float(os.environ.get("BENCH_DIFFICULTY", 1.0))
     seq = 32 if tiny else SEQ
 
     if tiny:
@@ -360,9 +374,11 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     bb = cfg.backbone
     n_emb, n_stages = 2, 2
 
-    train_data, _ = _device_split("train", n_train, bb, 0, seq)
-    val_data, val_labels = _device_split("validation", n_eval, bb, 1, seq)
-    test_data, test_labels = _device_split("test", n_eval, bb, 2, seq)
+    train_data, _ = _device_split("train", n_train, bb, 0, seq, difficulty)
+    val_data, val_labels = _device_split(
+        "validation", n_eval, bb, 1, seq, difficulty
+    )
+    test_data, test_labels = _device_split("test", n_eval, bb, 2, seq, difficulty)
 
     # ---- train: epochs chained on device, one scalar fetch per epoch ----
     steps = n_train // train_batch
@@ -472,9 +488,11 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     # would overflow logits/T in the criterion without changing decisions
     temps = [min(max(t, 0.05), 100.0) for t in cal_metrics["temperature"]]
     cal_val = val_store / np.asarray(temps)[:, None, None]
+    # three budgets -> >= 3 measured points on the accuracy-vs-depth curve
+    # (the reference's headline artifact, EE/thresh.py:288-302)
     points = select_operating_points(
         cal_val, val_refs, n_emb=n_emb, n_stages=n_stages, batch=serve_batch,
-        accuracy_drops=(("iso", 0.0), ("fast", 0.02)),
+        accuracy_drops=(("iso", 0.0), ("fast", 0.02), ("faster", 0.05)),
     )
 
     full_acc_test = float(np.mean(test_store[-1].argmax(-1) == test_refs))
@@ -544,6 +562,19 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         dt = time.perf_counter() - t0
         docs_per_sec = serve_batch * K * n_calls / dt
 
+        from multi_modal_early_exit_tpu.evaluation.operating_points import (
+            dead_exits_of,
+        )
+
+        n_exits = val_store.shape[0] - 1
+        dead = dead_exits_of(pt.exit_distribution, n_exits)
+        if dead:
+            print(
+                f"anytime: WARNING operating point {pt.name!r} has dead "
+                f"exit head(s) {dead} (<1% validation traffic) — consider "
+                f"prune_dead_exits()",
+                file=sys.stderr, flush=True,
+            )
         point_reports.append(
             {
                 **pt.to_dict(),
@@ -552,10 +583,19 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                 "test_full_depth_accuracy": round(full_acc_test, 4),
                 "test_average_exit": round(avg_exit, 4),
                 "capacity_exit_rate": round(forced_rate, 4),
+                "dead_exits": dead,
             }
         )
 
     iso = point_reports[0]
+    # the measured accuracy-vs-depth curve (iso, fast, faster): compact view
+    # of the reference's headline artifact (EE/thresh.py:288-302)
+    curve = [
+        {"name": r["name"], "test_accuracy": r["test_accuracy"],
+         "test_average_exit": r["test_average_exit"],
+         "docs_per_sec": r["docs_per_sec"]}
+        for r in point_reports
+    ]
     return _result(
         "anytime_iso_accuracy_docs_per_sec_per_chip", iso["docs_per_sec"],
         test_accuracy=iso["test_accuracy"],
@@ -564,6 +604,9 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         threshold=iso["threshold"],
         capacities=iso["capacities"],
         temperatures=[round(t, 4) for t in temps],
+        difficulty=difficulty,
+        dead_exits=iso["dead_exits"],
+        anytime_curve=curve,
         train={"epochs": epochs, "n_train": n_train, "lr": lr,
                "first_loss": round(losses[0], 4),
                "final_loss": round(losses[-1], 4),

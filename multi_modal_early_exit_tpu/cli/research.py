@@ -21,10 +21,41 @@ from typing import Optional
 import numpy as np
 
 from multi_modal_early_exit_tpu.evaluation.thresholds import (
+    assign_exits_2d,
+    csf_matrix,
     mixture_pareto_sweep,
 )
 from multi_modal_early_exit_tpu.utils.artifacts import load_npz, save_json
 from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+
+def _efficiency_analysis(checkpoint_dir: str, num_labels: int):
+    """Rebuild an ``Analysis`` from the dump dir's ``config.json`` (parity:
+    EE/large_scale.py:87-128 builds the model to emit a full efficiency log
+    per mixture). A random init suffices — only parameter counts and
+    analytic FLOPs are read. Returns None (log disabled, warned) when the
+    dump carries no usable config."""
+    cfg_path = os.path.join(checkpoint_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        logger_message(
+            "no config.json in dump dir — per-mixture efficiency log "
+            "disabled", type="warning",
+        )
+        return None
+    try:
+        from multi_modal_early_exit_tpu.config.experiment import (
+            ExperimentConfig,
+        )
+        from multi_modal_early_exit_tpu.evaluation.analysis import Analysis
+        from multi_modal_early_exit_tpu.models.registry import build_model
+        from multi_modal_early_exit_tpu.utils.artifacts import load_json
+
+        exp = ExperimentConfig.from_dict(load_json(cfg_path))
+        model_cfg, params = build_model(exp, num_labels=num_labels)
+        return Analysis(params, model_cfg)
+    except Exception as e:  # efficiency log must never fail the search
+        logger_message(f"efficiency log disabled ({e})", type="warning")
+        return None
 
 
 def pareto_front(accuracy: np.ndarray, average_exit: np.ndarray) -> np.ndarray:
@@ -72,6 +103,27 @@ def main(argv: Optional[list] = None) -> dict:
     )
 
     front = pareto_front(result["accuracy"], result["average_exit"])
+
+    # per-mixture efficiency log for the Pareto FRONT (the reference emits
+    # it per mixture, EE/large_scale.py:87-128 — front-only keeps the 1M+
+    # search fast while every reported point carries the full log)
+    analysis = _efficiency_analysis(args.checkpoint_dir, logits.shape[-1])
+    scores = csf_matrix(logits, args.csf) if analysis is not None else None
+
+    def efficiency_of(i):
+        if analysis is None:
+            return None
+        from multi_modal_early_exit_tpu.evaluation.analysis import calc_flops
+        from multi_modal_early_exit_tpu.evaluation.policy import (
+            exit_distribution_of,
+        )
+
+        exits = assign_exits_2d(
+            scores, result["thresholds"][i][None]
+        )[0]
+        dist = exit_distribution_of(exits, logits.shape[0])
+        return calc_flops(dist, analysis, {})
+
     out = {
         "num_mixtures": args.num_mixtures,
         "csf": args.csf,
@@ -81,6 +133,7 @@ def main(argv: Optional[list] = None) -> dict:
                 "accuracy": float(result["accuracy"][i]),
                 "average_exit": float(result["average_exit"][i]),
                 "thresholds": result["thresholds"][i].tolist(),
+                "efficiency": efficiency_of(i),
             }
             for i in front
         ],

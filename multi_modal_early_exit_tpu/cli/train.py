@@ -128,10 +128,28 @@ def main(argv: Optional[list] = None) -> Dict[str, float]:
                 iterate_batches(val_ds, cfg.eval_batch_size or 8)
             )
             mean_loss = float(np.mean(losses)) if losses else float("nan")
+            per_exit = " ".join(
+                f"e{j}:acc={metrics[f'exit_{j}_accuracy']:.3f}"
+                f"/share={metrics[f'exit_{j}_share']:.3f}"
+                for j in range(model_cfg.exit.num_exits)
+            )
             logger_message(
                 f"epoch {epoch}: loss={mean_loss:.4f} "
-                f"val_accuracy={metrics['accuracy']:.4f}"
+                f"val_accuracy={metrics['accuracy']:.4f} {per_exit}"
             )
+            dead = [
+                j for j in range(model_cfg.exit.num_exits)
+                if metrics.get(f"exit_{j}_share", 0.0) < 0.01
+            ]
+            if dead:
+                logger_message(
+                    f"epoch {epoch}: exit head(s) {dead} capture <1% of "
+                    f"validation traffic at threshold "
+                    f"{model_cfg.exit.global_threshold} — dead exits waste "
+                    f"compute; consider pruning "
+                    f"(evaluation.operating_points.prune_dead_exits)",
+                    "warning",
+                )
             if run is not None:
                 run.log({"epoch": epoch, "loss": mean_loss, **metrics})
             manager.save(

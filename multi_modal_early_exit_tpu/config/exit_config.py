@@ -15,27 +15,25 @@ from enum import Enum
 from typing import Callable, List, Sequence, Tuple, Union
 
 
-class Enhnum(str, Enum):
-    """String enum with friendly error messages (mirrors EE_modules.py:50-68)."""
+class StrChoice(str, Enum):
+    """String-valued enum used for config vocabulary fields.
+
+    Serializes to its raw string value (so configs round-trip through JSON)
+    and rejects unknown values with the accepted vocabulary in the message.
+    Capability parity with the reference's enum base (EE/models/EE_modules.py:50-68),
+    written in this framework's own idiom.
+    """
 
     def __str__(self) -> str:  # pragma: no cover - trivial
         return self.value
 
-    def __repr__(self) -> str:  # pragma: no cover - trivial
-        return f"<{self.__class__.__name__}-{self._name_}>"
-
     @classmethod
     def _missing_(cls, value):
-        raise ValueError(
-            f"{value} is not a valid {cls.__name__}, please select one from {cls.all()}"
-        )
-
-    @classmethod
-    def all(cls) -> List[str]:
-        return [c.value for c in cls]
+        choices = ", ".join(repr(c.value) for c in cls)
+        raise ValueError(f"unknown {cls.__name__} {value!r}; expected one of: {choices}")
 
 
-class EarlyExitStrategy(Enhnum):
+class EarlyExitStrategy(StrChoice):
     """Training strategies (reference: EE/models/EE_modules.py:71-113).
 
     Paper lineage: PABEE, DeeBERT, BERTxit, MultiExitViT, RomeBERT, FrameExit.
@@ -73,7 +71,7 @@ class EarlyExitStrategy(Enhnum):
         return "entropyreg" in self.value
 
 
-class EarlyExitInference(Enhnum):
+class EarlyExitInference(StrChoice):
     """Exit criteria (reference: EE/models/EE_modules.py:116-146)."""
 
     MAX_CONFIDENCE = "max_confidence"  # exit when max softmax prob > threshold
@@ -111,7 +109,7 @@ class EarlyExitInference(Enhnum):
         raise NotImplementedError(f"{self} not implemented")
 
 
-class EarlyExitHead(Enhnum):
+class EarlyExitHead(StrChoice):
     """Exit head types (reference: EE/models/EE_modules.py:168-172)."""
 
     GATE = "gate"  # binary head: 2 logits, final classifier re-used on exit input

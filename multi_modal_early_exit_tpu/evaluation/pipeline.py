@@ -46,6 +46,49 @@ from multi_modal_early_exit_tpu.utils.logging import logger_message
 from multi_modal_early_exit_tpu.utils.meters import AverageMeter
 
 
+def reprocess_batch_for_benchmark(batch: Dict, tokenizer, seq_len: int):
+    """Re-run the FULL preprocessing pipeline on one batch — OCR,
+    tokenization/bbox-normalization, and image preprocessing — so a caller
+    timing this call includes every host-side stage the reference's
+    ``--benchmark_OCR`` times (EE/utils.py:176-177 re-runs the AutoProcessor
+    inside the loop: pytesseract OCR + tokenizer + image transforms).
+
+    OCR stage: pytesseract per page when available; otherwise the synthetic
+    word generator stands in for the OCR cost (zero-egress environments have
+    no tesseract), followed by REAL tokenization either way.
+
+    Returns the re-preprocessed ``pixel_values``. The re-tokenized features
+    are computed for their cost but not returned: re-processing is only
+    idempotent on real document datasets (the reference's case); synthetic
+    pages carry no OCR-able text, so swapping inputs would change logits.
+    """
+    from multi_modal_early_exit_tpu.data.features import (
+        convert_words_to_features,
+    )
+    from multi_modal_early_exit_tpu.data.images import preprocess_images
+    from multi_modal_early_exit_tpu.data.ocr import (
+        apply_tesseract,
+        have_tesseract,
+    )
+
+    raw = (
+        (np.asarray(batch["pixel_values"]).transpose(0, 2, 3, 1) * 0.5 + 0.5)
+        * 255
+    ).astype(np.uint8)
+    n = raw.shape[0]
+    if have_tesseract():
+        from PIL import Image
+
+        for i in range(n):
+            words, boxes = apply_tesseract(Image.fromarray(raw[i]))
+            convert_words_to_features(words, boxes, tokenizer, seq_len)
+    else:
+        from multi_modal_early_exit_tpu.data.datasets import synthetic_tokens
+
+        synthetic_tokens(n, seq_len=seq_len, seed=0, tokenizer=tokenizer)
+    return np.asarray(preprocess_images(raw, size=raw.shape[1]))
+
+
 def get_logits(
     params,
     cfg: EEModelConfig,
@@ -60,9 +103,12 @@ def get_logits(
 
     One jitted batched forward per batch; the store layout and float64 dtype
     match the reference dump contract (EE/utils.py:160-164) so npz artifacts
-    are interchangeable.  ``benchmark_ocr`` re-runs the image preprocessing
-    inside the timed loop to include host-side preprocessing cost in the
-    throughput numbers (parity: --benchmark_OCR, EE/utils.py:176-177).
+    are interchangeable.  ``benchmark_ocr`` re-runs the FULL host
+    preprocessing — OCR (tesseract when available, else the synthetic word
+    generator as OCR-cost stand-in), tokenization, and image preprocessing —
+    inside the timed loop so throughput numbers include every stage the
+    reference's --benchmark_OCR times (EE/utils.py:176-177 re-runs the whole
+    AutoProcessor per batch).
     """
     import jax
 
@@ -89,17 +135,21 @@ def get_logits(
         ).policy_logits()
     )
 
+    tokenizer = None
+    if benchmark_ocr:
+        # tokenizer load stays OUTSIDE the timed loop (the reference builds
+        # its processor once in load_assets, EE/utils.py:47-77)
+        from multi_modal_early_exit_tpu.data.features import load_tokenizer
+
+        tokenizer = load_tokenizer()
+
     batch_time = AverageMeter()
     stores, refs = [], []
     end = time.perf_counter()
     for batch in iterate_batches(dataset, batch_size):
         if benchmark_ocr:
-            from multi_modal_early_exit_tpu.data.images import preprocess_images
-
-            raw = ((batch["pixel_values"].transpose(0, 2, 3, 1) * 0.5 + 0.5)
-                   * 255).astype(np.uint8)
-            batch["pixel_values"] = np.asarray(
-                preprocess_images(raw, size=raw.shape[1])
+            batch["pixel_values"] = reprocess_batch_for_benchmark(
+                batch, tokenizer, batch["input_ids"].shape[1]
             )
         store = np.asarray(
             fwd(params, batch["input_ids"], batch["bbox"],

@@ -442,6 +442,35 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
 
 
+def _packed_qkv_and_seed(p, cfg, hidden, deterministic, rng_attn):
+    """Packed (B, S, hidden) q/k/v projections plus the attention-dropout
+    (rate, seed) pair the packed flash kernels consume. Shared by every
+    packed-kernel branch of attention_apply so the projection and seed
+    derivation cannot drift between training paths. Rate collapses to 0
+    when no rng is provided (matching dropout()'s no-op behavior)."""
+    qp = linear(p["query"], hidden)
+    kp = linear(p["key"], hidden)
+    vp = linear(p["value"], hidden)
+    rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+    if rate > 0.0 and rng_attn is None:
+        rate = 0.0
+    if rate > 0.0:
+        seed = jax.random.randint(
+            rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return qp, kp, vp, rate, seed
+
+
+def _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out):
+    """Output projection, dropout, residual LayerNorm — the epilogue every
+    attention formulation shares."""
+    out = linear(p["output"], ctx)
+    out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
+    return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+
+
 def attention_apply(
     p: Params,
     cfg: LayoutLMv3Config,
@@ -469,28 +498,15 @@ def attention_apply(
             flash_attention_packed_train_chained,
         )
 
-        qp = linear(p["query"], hidden)
-        kp = linear(p["key"], hidden)
-        vp = linear(p["value"], hidden)
-        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
-        if rate > 0.0 and rng_attn is None:
-            rate = 0.0
-        if rate > 0.0:
-            seed = jax.random.randint(
-                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-            )
-        else:
-            seed = jnp.zeros((1,), jnp.int32)
+        qp, kp, vp, rate, seed = _packed_qkv_and_seed(
+            p, cfg, hidden, deterministic, rng_attn
+        )
         ctx, bias_out = flash_attention_packed_train_chained(
             qp, kp, vp, attn_bias.bias, seed, cfg.num_attention_heads,
             rate=rate,
         )
         ctx = ctx.astype(hidden.dtype)
-        out = linear(p["output"], ctx)
-        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-        attn_out = layer_norm(
-            p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps
-        )
+        attn_out = _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out)
         return attn_out, ChainedBiasContext(bias_out)
 
     if isinstance(attn_bias, TrainBiasContext) and use_flash_attention():
@@ -501,18 +517,9 @@ def attention_apply(
             flash_attention_packed_train_tables,
         )
 
-        qp = linear(p["query"], hidden)
-        kp = linear(p["key"], hidden)
-        vp = linear(p["value"], hidden)
-        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
-        if rate > 0.0 and rng_attn is None:
-            rate = 0.0
-        if rate > 0.0:
-            seed = jax.random.randint(
-                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-            )
-        else:
-            seed = jnp.zeros((1,), jnp.int32)
+        qp, kp, vp, rate, seed = _packed_qkv_and_seed(
+            p, cfg, hidden, deterministic, rng_attn
+        )
         ctx = flash_attention_packed_train_tables(
             qp, kp, vp, attn_bias.bias,
             attn_bias.t1, attn_bias.tx, attn_bias.ty,
@@ -521,9 +528,7 @@ def attention_apply(
             rel_bins=cfg.rel_pos_bins, max_rel=cfg.max_rel_pos,
             rel2d_bins=cfg.rel_2d_pos_bins, max_rel2d=cfg.max_rel_2d_pos,
         ).astype(hidden.dtype)
-        out = linear(p["output"], ctx)
-        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+        return _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out)
 
     if (
         not isinstance(
@@ -540,16 +545,10 @@ def attention_apply(
         # ~25% of a cascade encoder layer). Deterministic path: fwd-only
         # kernel; stochastic path: train twin with in-kernel position-hash
         # dropout + packed fused backward.
-        qp = linear(p["query"], hidden)
-        kp = linear(p["key"], hidden)
-        vp = linear(p["value"], hidden)
-        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
-        if rate > 0.0 and rng_attn is None:
-            rate = 0.0  # no rng provided: match dropout()'s no-op behavior
+        qp, kp, vp, rate, seed = _packed_qkv_and_seed(
+            p, cfg, hidden, deterministic, rng_attn
+        )
         if rate > 0.0:
-            seed = jax.random.randint(
-                rng_attn, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-            )
             ctx = flash_attention_packed_train(
                 qp, kp, vp, attn_bias, seed, cfg.num_attention_heads,
                 rate=rate,
@@ -558,9 +557,7 @@ def attention_apply(
             ctx = flash_attention_packed(
                 qp, kp, vp, attn_bias, cfg.num_attention_heads
             ).astype(hidden.dtype)
-        out = linear(p["output"], ctx)
-        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+        return _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out)
 
     q = _split_heads(linear(p["query"], hidden), cfg.num_attention_heads)
     k = _split_heads(linear(p["key"], hidden), cfg.num_attention_heads)
@@ -582,9 +579,7 @@ def attention_apply(
         ctx = ctx.astype(hidden.dtype)
         b, h, s, _ = ctx.shape
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
-        out = linear(p["output"], ctx)
-        out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-        return layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+        return _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out)
 
     was_chained = isinstance(attn_bias, ChainedBiasContext)
     if was_chained:
@@ -622,9 +617,7 @@ def attention_apply(
     b, h, s, _ = ctx.shape
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
 
-    out = linear(p["output"], ctx)
-    out = dropout(out, cfg.hidden_dropout_prob, deterministic, rng_out)
-    out = layer_norm(p["output_LayerNorm"], out + hidden, cfg.layer_norm_eps)
+    out = _attn_epilogue(p, cfg, ctx, hidden, deterministic, rng_out)
     if was_chained:
         return out, ChainedBiasContext(attn_bias)
     return out
@@ -748,16 +741,29 @@ def classifier_apply(
 # full model
 # ---------------------------------------------------------------------------
 
-def init_params(key, cfg: LayoutLMv3Config, dtype=jnp.float32) -> Params:
+def init_params(
+    key,
+    cfg: LayoutLMv3Config,
+    dtype=jnp.float32,
+    with_text: bool = True,
+    with_vision: bool = True,
+) -> Params:
+    """Full-model parameters. Single-modality variants (the reference's
+    ``dit`` image-only and ``bert`` text-only models, EE/configs.py:429-449,
+    482-493) pass ``with_text=False`` / ``with_vision=False`` so unused
+    modality towers are never allocated; the post-concat modality LayerNorm
+    exists only in the multimodal forward and is dropped with either."""
     k = jax.random.split(key, 5)
-    params: Params = {
-        "embeddings": init_text_embeddings(k[0], cfg, dtype),
-        "visual": init_visual_embeddings(k[1], cfg, dtype),
+    params: Params = {}
+    if with_text:
+        params["embeddings"] = init_text_embeddings(k[0], cfg, dtype)
+    if with_vision:
+        params["visual"] = init_visual_embeddings(k[1], cfg, dtype)
+    if with_text and with_vision:
         # post-concat modality LayerNorm (LayoutLMv3Model.LayerNorm)
-        "LayerNorm": init_layer_norm(cfg.hidden_size, dtype),
-        "encoder": init_encoder(k[2], cfg, dtype),
-        "classifier": init_classifier(k[3], cfg, dtype),
-    }
+        params["LayerNorm"] = init_layer_norm(cfg.hidden_size, dtype)
+    params["encoder"] = init_encoder(k[2], cfg, dtype)
+    params["classifier"] = init_classifier(k[3], cfg, dtype)
     return params
 
 

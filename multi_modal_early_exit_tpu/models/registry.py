@@ -109,36 +109,39 @@ def infer_backbone_config(
 
     base = base or LayoutLMv3Config.base()
     bb = params["backbone"] if "backbone" in params else params
-    emb = bb["embeddings"]
     enc = bb["encoder"]
     layers = enc["layers"]
-    hidden = int(np.shape(emb["word_embeddings"])[1])
-    patch_kernel_in = int(
-        np.shape(bb["visual"]["patch_embed"]["kernel"])[0]
-    )
-    patch_size = int(round((patch_kernel_in / 3) ** 0.5))
-    n_patches = int(np.shape(bb["visual"]["pos_embed"])[1]) - 1
-    input_size = int(round(n_patches ** 0.5)) * patch_size
+    hidden = int(np.shape(layers["intermediate"]["kernel"])[1])
     kwargs = dict(
-        vocab_size=int(np.shape(emb["word_embeddings"])[0]),
         hidden_size=hidden,
         num_hidden_layers=int(
             np.shape(jax.tree.leaves(layers)[0])[0]
         ),
         intermediate_size=int(np.shape(layers["intermediate"]["bias"])[1]),
-        max_position_embeddings=int(
-            np.shape(emb["position_embeddings"])[0]
-        ),
-        max_2d_position_embeddings=int(
-            np.shape(emb["x_position_embeddings"])[0]
-        ),
-        coordinate_size=int(np.shape(emb["x_position_embeddings"])[1]),
-        shape_size=int(np.shape(emb["h_position_embeddings"])[1]),
-        patch_size=patch_size,
-        input_size=input_size,
         has_relative_attention_bias="rel_pos_bias" in enc,
         has_spatial_attention_bias="rel_pos_x_bias" in enc,
     )
+    if "embeddings" in bb:  # text tower present (absent on dit checkpoints)
+        emb = bb["embeddings"]
+        kwargs.update(
+            vocab_size=int(np.shape(emb["word_embeddings"])[0]),
+            max_position_embeddings=int(
+                np.shape(emb["position_embeddings"])[0]
+            ),
+            max_2d_position_embeddings=int(
+                np.shape(emb["x_position_embeddings"])[0]
+            ),
+            coordinate_size=int(np.shape(emb["x_position_embeddings"])[1]),
+            shape_size=int(np.shape(emb["h_position_embeddings"])[1]),
+        )
+    if "visual" in bb:  # vision tower present (absent on bert checkpoints)
+        patch_kernel_in = int(
+            np.shape(bb["visual"]["patch_embed"]["kernel"])[0]
+        )
+        patch_size = int(round((patch_kernel_in / 3) ** 0.5))
+        n_patches = int(np.shape(bb["visual"]["pos_embed"])[1]) - 1
+        input_size = int(round(n_patches ** 0.5)) * patch_size
+        kwargs.update(patch_size=patch_size, input_size=input_size)
     if "classifier" in bb:
         kwargs["num_labels"] = int(
             np.shape(bb["classifier"]["out_proj"]["bias"])[0]
@@ -206,9 +209,17 @@ def build_model(
             type="warning",
         )
     if name in ("layoutlmv3", "dit", "dit_rvl", "bert", "layoutlmv2"):
-        # dense models: no exits
+        # dense models: no exits; single-modality variants only allocate the
+        # tower they use (dit has no word/layout embeddings, bert no visual
+        # patch tower — reference: EE/configs.py:429-449, 482-493)
         model_cfg = EEModelConfig(backbone=bb, exit=ExitConfig(exits=()))
-        params: Params = {"backbone": init_params(rng, bb)}
+        params: Params = {
+            "backbone": init_params(
+                rng, bb,
+                with_text=name not in ("dit", "dit_rvl"),
+                with_vision=name != "bert",
+            )
+        }
     else:
         model_cfg = EEModelConfig(backbone=bb, exit=exit_cfg)
         params = init_ee_params(rng, model_cfg)

@@ -133,6 +133,29 @@ def _tile_width(s: int, bias_width: int, block_q: int) -> tuple[int, int]:
     return s_pad, block_q
 
 
+def _pre_padded_layout(s: int, bias_width: int, block_q: int) -> tuple[int, int]:
+    """Tile layout for the chained op, whose bias arrives PRE-padded: the
+    bias width IS the kernel width (the backward aliases the caller's
+    cotangent buffer for the in-place accumulate, so it cannot re-pad) and
+    the q-block shrinks until it divides that width. Shared by the primal,
+    fwd, and bwd so the custom-vjp trio always agrees on the layout — any
+    128-multiple pre-pad works, not only widths the default 256 block
+    happens to tile."""
+    if bias_width < s:
+        raise ValueError(
+            "flash_attention_packed_train_chained requires a bias pre-padded "
+            f"to at least the sequence length: bias width {bias_width} < {s}"
+        )
+    while block_q > 8 and bias_width % block_q:
+        block_q //= 2
+    if bias_width % block_q:
+        raise ValueError(
+            f"pre-padded bias width {bias_width} does not tile by any "
+            f"q-block size >= 8"
+        )
+    return bias_width, block_q
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "rate", "with_lse")
 )
@@ -935,8 +958,15 @@ def flash_attention_packed_train_chained(
     in place (``input_output_aliases``). The per-layer (B,H,S,S) dbias
     write + XLA select_add accumulation pass of the plain op
     (docs/PROFILE_TRAIN.md, ~20% of the train step) collapses into one
-    in-kernel add. ``bias`` must already be at the kernel's padded width
-    (the model builds it so)."""
+    in-kernel add. ``bias`` must be pre-padded square to a width tileable
+    by some q-block (the model pads to a 128-multiple); the q-block shrinks
+    to match (_pre_padded_layout), so any such width works."""
+    s_pad, block_q = _pre_padded_layout(q.shape[1], bias.shape[-1], block_q)
+    if bias.shape[-2] != s_pad:
+        raise ValueError(
+            "flash_attention_packed_train_chained requires a SQUARE "
+            f"pre-padded bias; got {bias.shape}"
+        )
     out, _ = _flash_packed_train_fwd_impl(
         q, k, v, bias, seed, num_heads, block_q, rate
     )
@@ -944,12 +974,11 @@ def flash_attention_packed_train_chained(
 
 
 def _packed_chained_fwd(q, k, v, bias, seed, num_heads, block_q, rate):
-    b, s, hd = q.shape
-    s_pad, _ = _tile_width(s, bias.shape[-1], block_q)
-    if bias.shape[-2:] != (s_pad, s_pad):
+    s_pad, block_q = _pre_padded_layout(q.shape[1], bias.shape[-1], block_q)
+    if bias.shape[-2] != s_pad:
         raise ValueError(
-            "flash_attention_packed_train_chained requires a bias pre-padded "
-            f"to the kernel width {s_pad}; got {bias.shape}"
+            "flash_attention_packed_train_chained requires a SQUARE "
+            f"pre-padded bias; got {bias.shape}"
         )
     out, lse = _flash_packed_train_fwd_impl(
         q, k, v, bias, seed, num_heads, block_q, rate
@@ -960,6 +989,9 @@ def _packed_chained_fwd(q, k, v, bias, seed, num_heads, block_q, rate):
 def _packed_chained_bwd(num_heads, block_q, rate, residuals, g):
     q, k, v, bias, seed, o, lse = residuals
     g_out, g_bias = g
+    # re-derive the layout the fwd used (block_q here is the caller's
+    # original static value, not the resolved one)
+    _, block_q = _pre_padded_layout(q.shape[1], bias.shape[-1], block_q)
     dq, dk, dv, dbias = _flash_packed_bwd_impl(
         q, k, v, bias, seed, o, lse, g_out, num_heads, block_q, rate,
         gbias=g_bias,
@@ -1083,11 +1115,15 @@ def _attn_bwd_packed_tables_kernel(
     # head-selection matrix: sel[e, h] = 1 where h == hg*hp + e, so the
     # (bins, hp) partial lands in this group's columns of the (bins, H)
     # accumulator through a full-block matmul
+    # sel/partial stay f32: the (bins, hp) partial sums up to block_q*block_k
+    # ds terms per tile — rounding them to bf16 before the tiny
+    # (bins,hp)@(hp,H) selection matmul would add a precision loss the
+    # dbias-accumulate path doesn't have; only the ds stash is bf16.
     sel = (
         jax.lax.broadcasted_iota(jnp.int32, (heads_per_cell, h_total), 1)
         == hg * heads_per_cell
         + jax.lax.broadcasted_iota(jnp.int32, (heads_per_cell, h_total), 0)
-    ).astype(ds_scratch.dtype)
+    ).astype(jnp.float32)
 
     n_cb = s_pad // block_k
 
@@ -1106,9 +1142,9 @@ def _attn_bwd_packed_tables_kernel(
             partial = jax.lax.dot_general(
                 onehot, gt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (bins, hp)
+            )  # (bins, hp) f32
             out_ref[:] = out_ref[:] + jax.lax.dot_general(
-                partial.astype(sel.dtype), sel, (((1,), (0,)), ((), ())),
+                partial, sel, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 

@@ -232,11 +232,15 @@ class EETrainer:
 
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
         """Accuracy + per-exit accuracy (reference compute_metrics,
-        IC_only.py:91-130)."""
+        IC_only.py:91-130) + per-exit capture share under the configured
+        confidence policy (first exit whose max-softmax clears the global
+        threshold) — the train-time dead-exit signal (VERDICT r3 #10)."""
         fwd = self._eval_fwd()
+        thr = float(self.cfg.exit.global_threshold)
         correct = 0
         total = 0
         exit_correct = None
+        exit_counts = None
         for batch in batches:
             store = np.asarray(
                 fwd(
@@ -249,10 +253,22 @@ class EETrainer:
             preds = store.argmax(-1)  # (E+1, B)
             if exit_correct is None:
                 exit_correct = np.zeros(store.shape[0])
+                exit_counts = np.zeros(store.shape[0], np.int64)
             exit_correct += (preds == labels[None]).sum(-1)
             correct += (preds[-1] == labels).sum()
             total += len(labels)
+            # capture share: max-softmax per exit, final row always passes
+            s = store.astype(np.float64)
+            e = np.exp(s - s.max(-1, keepdims=True))
+            msp = (e / e.sum(-1, keepdims=True)).max(-1)  # (E+1, B)
+            passed = msp > thr
+            passed[-1] = True
+            exit_counts += np.bincount(
+                passed.argmax(0), minlength=store.shape[0]
+            )
         results = {"accuracy": correct / max(total, 1)}
         for j in range(len(exit_correct) - 1):
             results[f"exit_{j}_accuracy"] = exit_correct[j] / max(total, 1)
+        for j in range(len(exit_counts)):
+            results[f"exit_{j}_share"] = exit_counts[j] / max(total, 1)
         return results

@@ -22,69 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-
-def jax_params_to_torch_state_dict(params, cfg):
-    """Inverse of convert.convert_torch_state_dict (prefix='layoutlmv3.')."""
-    import torch
-
-    sd = {}
-
-    def t(x):
-        return torch.tensor(np.asarray(x, np.float32))
-
-    def put_linear(prefix, p):
-        sd[f"{prefix}.weight"] = t(np.asarray(p["kernel"]).T)
-        sd[f"{prefix}.bias"] = t(p["bias"])
-
-    def put_ln(prefix, p):
-        sd[f"{prefix}.weight"] = t(p["scale"])
-        sd[f"{prefix}.bias"] = t(p["bias"])
-
-    pre = "layoutlmv3."
-    emb = params["embeddings"]
-    for name in (
-        "word_embeddings", "position_embeddings", "token_type_embeddings",
-        "x_position_embeddings", "y_position_embeddings",
-        "h_position_embeddings", "w_position_embeddings",
-    ):
-        sd[f"{pre}embeddings.{name}.weight"] = t(emb[name])
-    put_ln(f"{pre}embeddings.LayerNorm", emb["LayerNorm"])
-
-    vis = params["visual"]
-    kern = np.asarray(vis["patch_embed"]["kernel"])  # (C*ph*pw, O)
-    o = kern.shape[1]
-    sd[f"{pre}patch_embed.proj.weight"] = t(
-        kern.T.reshape(o, cfg.num_channels, cfg.patch_size, cfg.patch_size)
-    )
-    sd[f"{pre}patch_embed.proj.bias"] = t(vis["patch_embed"]["bias"])
-    sd[f"{pre}cls_token"] = t(vis["cls_token"])
-    sd[f"{pre}pos_embed"] = t(vis["pos_embed"])
-    put_ln(f"{pre}norm", vis["norm"])
-    put_ln(f"{pre}LayerNorm", params["LayerNorm"])
-
-    enc = params["encoder"]
-    for i in range(cfg.num_hidden_layers):
-        lp = f"{pre}encoder.layer.{i}."
-        put_linear(f"{lp}attention.self.query", _slice(enc["layers"]["attention"]["query"], i))
-        put_linear(f"{lp}attention.self.key", _slice(enc["layers"]["attention"]["key"], i))
-        put_linear(f"{lp}attention.self.value", _slice(enc["layers"]["attention"]["value"], i))
-        put_linear(f"{lp}attention.output.dense", _slice(enc["layers"]["attention"]["output"], i))
-        put_ln(f"{lp}attention.output.LayerNorm",
-               _slice(enc["layers"]["attention"]["output_LayerNorm"], i))
-        put_linear(f"{lp}intermediate.dense", _slice(enc["layers"]["intermediate"], i))
-        put_linear(f"{lp}output.dense", _slice(enc["layers"]["output"], i))
-        put_ln(f"{lp}output.LayerNorm", _slice(enc["layers"]["output_LayerNorm"], i))
-    sd[f"{pre}encoder.rel_pos_bias.weight"] = t(np.asarray(enc["rel_pos_bias"]).T)
-    sd[f"{pre}encoder.rel_pos_x_bias.weight"] = t(np.asarray(enc["rel_pos_x_bias"]).T)
-    sd[f"{pre}encoder.rel_pos_y_bias.weight"] = t(np.asarray(enc["rel_pos_y_bias"]).T)
-
-    put_linear("classifier.dense", params["classifier"]["dense"])
-    put_linear("classifier.out_proj", params["classifier"]["out_proj"])
-    return sd
-
-
-def _slice(tree, i):
-    return {k: np.asarray(v)[i] for k, v in tree.items()}
+from multi_modal_early_exit_tpu.models.layoutlmv3.convert import (
+    jax_params_to_torch_state_dict,
+)
 
 
 def main():

@@ -26,7 +26,10 @@ def test_bench_anytime_tiny(monkeypatch):
     assert result["value"] > 0
     assert result["baseline"].startswith("estimated-32")
     pts = result["operating_points"]
-    assert [p["name"] for p in pts] == ["iso", "fast"]
+    assert [p["name"] for p in pts] == ["iso", "fast", "faster"]
+    # the measured curve ships with the result (>= 3 points)
+    assert len(result["anytime_curve"]) == 3
+    assert "dead_exits" in result
     for p in pts:
         # iso-accuracy constraint held on validation by construction
         assert p["val_accuracy"] >= p["val_full_accuracy"] - p["accuracy_drop_budget"] - 1e-9

@@ -131,6 +131,52 @@ def test_synthetic_band_images_device_matches_host():
     np.testing.assert_array_equal(host, dev)
 
 
+def test_synthetic_difficulty_zero_is_legacy_stream():
+    """difficulty=0 must reproduce the legacy generator bit-for-bit (same
+    rng stream) so golden/regression artifacts stay valid."""
+    from multi_modal_early_exit_tpu.data.datasets import synthetic_tokens
+
+    a = synthetic_tokens(10, num_labels=4, seq_len=24, seed=11)
+    b = synthetic_tokens(10, num_labels=4, seq_len=24, seed=11, difficulty=0.0)
+    for k in ("input_ids", "bbox", "attention_mask", "labels"):
+        np.testing.assert_array_equal(a[k], b[k])
+    np.testing.assert_array_equal(a["visual_ids"], a["labels"])
+
+
+def test_synthetic_difficulty_adds_ambiguity_and_noise():
+    """difficulty=1: visual ids collapse a fraction of examples onto the
+    vision pair representative, some observed labels are flipped, and the
+    text/vision pairings differ so fusion can still resolve every hard
+    example (the accuracy axis becomes real — VERDICT r3 #1)."""
+    from multi_modal_early_exit_tpu.data.datasets import (
+        _text_partner,
+        synthetic_tokens,
+    )
+
+    t = synthetic_tokens(600, num_labels=16, seq_len=32, seed=5, difficulty=1.0)
+    lab, vid = t["labels"], t["visual_ids"]
+    # visually-hard examples render the pair representative (label & ~1);
+    # expect roughly 0.4 * P(odd label) = ~20% strictly-changed ids
+    changed = np.mean(vid != lab)
+    assert 0.05 < changed < 0.5
+    # visual ids derive from the TRUE label (the first rng draw, identical
+    # across difficulty settings): own class or its vision pair rep
+    true = synthetic_tokens(600, num_labels=16, seq_len=32, seed=5,
+                            difficulty=0.0)["labels"]
+    assert np.all((vid == true) | (vid == (true & ~1)))
+    # pairings differ for every class: text partner != vision partner
+    k = 16
+    tp = _text_partner(np.arange(k), k)
+    assert all(int(tp[l]) != (l ^ 1) for l in range(k))
+    # label noise: the true labels are the FIRST rng draw (identical across
+    # difficulty settings), so comparing against difficulty=0 isolates the
+    # flipped fraction — expect ~8%
+    clean = synthetic_tokens(600, num_labels=16, seq_len=32, seed=5,
+                             difficulty=0.0)
+    flipped = np.mean(t["labels"] != clean["labels"])
+    assert 0.02 < flipped < 0.2
+
+
 def test_synthetic_tokens_compose_to_documents():
     """synthetic_documents == synthetic_tokens + band images + preprocessing
     (the refactor must not change the dataset)."""

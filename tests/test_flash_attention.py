@@ -647,6 +647,50 @@ def test_chained_dbias_wiring_matches_xla_path(monkeypatch):
         )
 
 
+def test_packed_train_chained_default_block_on_128_pad():
+    """Regression: with the DEFAULT block_q (256) and a bias pre-padded to a
+    128-multiple that is NOT 256-aligned (here S=100 -> pad 128), the
+    chained op must resolve the layout from the bias width (shrinking the
+    q-block) instead of raising at trace time — both the primal and the
+    grad path (ADVICE r3: only 256-aligned pads happened to work)."""
+    rng = np.random.default_rng(9)
+    b, h, s, d = 1, 2, 100, 16
+    pad = 128
+    hd = h * d
+    qp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    bias = jnp.pad(
+        jnp.asarray(rng.standard_normal((b, h, s, s)), jnp.float32),
+        ((0, 0), (0, 0), (0, pad - s), (0, pad - s)),
+        constant_values=fa.NEG_INF,
+    )
+    seed = jnp.asarray([3], jnp.int32)
+
+    def loss(q, k, v, bb):
+        out, bb2 = fa.flash_attention_packed_train_chained(
+            q, k, v, bb, seed, h  # default block_q=256
+        )
+        return (out.astype(jnp.float32) ** 2).sum() + (bb2**2).sum()
+
+    out, bias_out = fa.flash_attention_packed_train_chained(
+        qp, kp, vp, bias, seed, h
+    )
+    assert out.shape == (b, s, hd)
+    np.testing.assert_allclose(np.asarray(bias_out), np.asarray(bias))
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    # cross-check against the explicitly-tiled plain op
+    def loss_plain(q, k, v, bb):
+        out = fa.flash_attention_packed_train(q, k, v, bb, seed, h, block_q=128)
+        return (out.astype(jnp.float32) ** 2).sum() + (bb**2).sum()
+
+    grads_p = jax.grad(loss_plain, argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    for a, b_ in zip(grads, grads_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
+        )
+
+
 def test_packed_train_chained_accumulates_bias_cotangent():
     """The chained op returns (out, bias) and its backward must emit
     d(bias) = upstream-bias-cotangent + ds — i.e. exactly the plain op's

@@ -154,3 +154,40 @@ def test_sequence_classification_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_converter_round_trip_identity_base_size():
+    """Exporter ∘ importer == identity at BASE size (VERDICT r3 #2a): the
+    golden-base artifact is generated through the exporter
+    (scripts/make_golden_base.py), so a transposition bug symmetric in both
+    directions would make the golden test pass while real checkpoint
+    imports were wrong. The round trip pins every leaf bit-exactly."""
+    from multi_modal_early_exit_tpu.models.layoutlmv3.convert import (
+        jax_params_to_torch_state_dict,
+    )
+    from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
+        init_params,
+    )
+
+    cfg = LayoutLMv3Config.base(num_labels=16)
+    params = init_params(jax.random.key(42), cfg)
+    sd = jax_params_to_torch_state_dict(params, cfg)
+    back = convert_torch_state_dict(sd, cfg, prefix="layoutlmv3.")
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (path_a, a), (path_b, b) in zip(flat_a, flat_b):
+        assert path_a == path_b
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=str(path_a),
+        )
+    # and the state_dict covers the full HF module (no silently-dropped
+    # weights): load into a real torch model strictly up to buffers
+    hf_conf = hf_cfg_from(cfg, 16)
+    model = LayoutLMv3ForSequenceClassification(hf_conf)
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    real_missing = [m for m in missing if not m.endswith("position_ids")]
+    assert not real_missing, real_missing
+    assert not unexpected, unexpected
