@@ -74,24 +74,32 @@ def _layer_norm_core(x, scale, bias, eps: float):
     only the (narrow) input and the (B,S,1) moments and recomputes the
     normalized tensor on the fly in the backward."""
     xf = x.astype(jnp.float32)
+    # single-pass moments (E[x^2] - E[x]^2): both sums come out of ONE read
+    # of x (multi-output reduce fusion) instead of the sequential
+    # mean -> E[(x-mean)^2] pair; f32 over the 768-wide axis keeps the
+    # cancellation error far below the bf16 output quantum
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     return (y * scale + bias).astype(x.dtype)
 
 
 def _layer_norm_fwd(x, scale, bias, eps: float):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    rsig = jax.lax.rsqrt(var + eps)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    rsig = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     y = (xf - mean) * rsig
     out = (y * scale + bias).astype(x.dtype)
-    return out, (x, mean, rsig, scale)
+    # moments saved DENSE (…, S): a trailing size-1 tiled dim pads the lane
+    # dim to 128 — 128x stash memory/bandwidth (see ops/flash_attention lse)
+    return out, (x, mean[..., 0], rsig[..., 0], scale)
 
 
 def _layer_norm_bwd(eps: float, res, g):
     x, mean, rsig, scale = res
+    mean = mean[..., None]
+    rsig = rsig[..., None]
     gf = g.astype(jnp.float32)
     xhat = (x.astype(jnp.float32) - mean) * rsig
     reduce_dims = tuple(range(x.ndim - 1))
@@ -638,6 +646,11 @@ def encoder_layer_apply(
     chained_bias = None
     if isinstance(attn_bias, ChainedBiasContext):
         attn_out, chained_bias = attn_out
+    # NOTE: a fused-MLP custom VJP (save only pre-GELU, recompute the GELU
+    # for the down-proj weight grad) was built and measured SLOWER
+    # (142 -> 135 docs/sec at the reference budget): XLA already overlaps
+    # the twin (L,B,S,4H) stashes with the matmuls, while the hand VJP
+    # serializes the recompute. Keep the composable form.
     inter = gelu_exact(linear(p["intermediate"], attn_out))
     out = linear(p["output"], inter)
     out = dropout(out, cfg.hidden_dropout_prob, deterministic, r[2])

@@ -589,13 +589,28 @@ def _packed_cols(ref, width: int):
     return pl.ds(pl.program_id(2) * width, width)
 
 
+def _col_to_row(x: jax.Array) -> jax.Array:
+    """(N, 1) column -> (N,) lane vector via a 2-D transpose (the one
+    sublane<->lane relayout Mosaic supports everywhere). Used to emit
+    per-row statistics (lse, delta) as DENSE (…, S) tensors: a trailing
+    size-1 tiled dim ((B,H,S,1) with T(8,128)) physically pads the lane dim
+    to 128 — a 128x memory/bandwidth blow-up that showed up as ~4 ms/step
+    of pure layout copies in the train profile (docs/PROFILE_TRAIN.md)."""
+    return jax.lax.transpose(x, (1, 0))[0]
+
+
+def _row_to_col(x: jax.Array) -> jax.Array:
+    """(N,) lane vector -> (N, 1) column (inverse of _col_to_row)."""
+    return jax.lax.transpose(x[None, :], (1, 0))
+
+
 def _attn_fwd_packed_train_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     *, scale: float, rate: float, head_dim: int, heads_per_cell: int,
     num_heads: int, block_q: int,
 ):
     """Packed-train forward: like the deterministic packed kernel plus the
-    (B, H, S, 1) logsumexp output and the in-kernel position-hash dropout.
+    DENSE (B, H, S) logsumexp output and the in-kernel position-hash dropout.
     The mask is a pure function of (seed, b*H+h, i, j) — identical to the
     (B,H,S,D) kernels', so either pair regenerates the other's stream."""
     b_idx = pl.program_id(0)
@@ -626,12 +641,16 @@ def _attn_fwd_packed_train_kernel(
             jnp.dot(p.astype(vg.dtype), vg[:, lo:hi],
                     preferred_element_type=jnp.float32)
         )
-        lse_ref[0, e] = m + jnp.log(denom)               # (Bq, 1)
+        # lse block spans ALL heads (Mosaic wants the sublane dim full or
+        # 8-divisible); each cell writes its group's rows. hh is innermost,
+        # so the block stays VMEM-resident across the head-group sweep.
+        h_idx = pl.program_id(2) * heads_per_cell + e
+        lse_ref[0, h_idx] = _col_to_row(m + jnp.log(denom))  # (Bq,)
     o_ref[0, :, cols] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _attn_bwd_packed_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
     *refs,
     scale: float, rate: float, head_dim: int, heads_per_cell: int,
     num_heads: int, block_q: int, chained: bool = False,
@@ -670,6 +689,7 @@ def _attn_bwd_packed_kernel(
     kg = k_ref[0, :, cols]                               # (S, hp*D)
     vg = v_ref[0, :, cols]
     dog = do_ref[0, :, cols]
+    og = o_ref[0, :, cols]
 
     @pl.when(j == 0)
     def _init():
@@ -685,7 +705,7 @@ def _attn_bwd_packed_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias_ref[0, e].astype(jnp.float32)    # (Bq, S)
-        p = jnp.exp(s - lse_ref[0, e])
+        p = jnp.exp(s - _row_to_col(lse_ref[0, hg * heads_per_cell + e]))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -698,7 +718,13 @@ def _attn_bwd_packed_kernel(
             dp = dp * c
         else:
             p_dropped = p
-        ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
+        # delta[i] = sum_d do*o over this head's slice, computed in-register
+        # (no (B,H,S,1) delta tensor / XLA reduce pass exists at all)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * og[:, lo:hi].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )                                                 # (Bq, 1)
+        ds = p * (dp - delta)                             # (Bq, S)
         if chained:
             dbias_ref[0, e] = (
                 gbias_ref[0, e].astype(jnp.float32) + ds
@@ -750,7 +776,9 @@ def _flash_packed_train_fwd_impl(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, s_pad, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, num_heads, s_pad, 1), jnp.float32),
+            # DENSE (B, H, S) lse: a trailing size-1 tiled dim would pad the
+            # lane dim to 128 (128x memory + pathological stash copies)
+            jax.ShapeDtypeStruct((b, num_heads, s_pad), jnp.float32),
         ],
         grid_spec=pl.GridSpec(
             grid=(b, s_pad // block_q, num_heads // hp),
@@ -763,8 +791,8 @@ def _flash_packed_train_fwd_impl(
             ],
             out_specs=[
                 row_spec,
-                pl.BlockSpec((1, hp, block_q, 1),
-                             lambda i, j, hh: (i, hh, j, 0),
+                pl.BlockSpec((1, num_heads, block_q),
+                             lambda i, j, hh: (i, 0, j),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -797,15 +825,8 @@ def _flash_packed_bwd_impl(
     gp = _pad_to(g, 1, s_pad)
     op = _pad_to(o, 1, s_pad)
     bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
-    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)  # (B, H, S_pad, 1)
-    # delta[b,h,i] = sum_d do * o over head h's feature slice — tiny tensor,
-    # computed in XLA from the PACKED arrays (no big transposes)
-    delta = (
-        (gp.astype(jnp.float32) * op.astype(jnp.float32))
-        .reshape(b, s_pad, num_heads, d)
-        .sum(-1)
-        .transpose(0, 2, 1)[..., None]
-    )  # (B, H, S_pad, 1)
+    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)  # (B, H, S_pad) dense
+    # delta (sum_d do*o per row/head) is computed IN KERNEL from the o rows
 
     n_hg = num_heads // hp
     width = hp * d
@@ -813,8 +834,8 @@ def _flash_packed_bwd_impl(
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, hh, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, hp, block_q, 1),
-                            lambda i, hh, j: (i, hh, j, 0),
+    lse_spec = pl.BlockSpec((1, num_heads, block_q),
+                            lambda i, hh, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
                              lambda i, hh, j: (i, hh, j, 0),
@@ -834,7 +855,7 @@ def _flash_packed_bwd_impl(
                             lambda i, hh, j: (i, 0, hh),
                             memory_space=pltpu.VMEM)
     chained = gbias is not None
-    operands = [seed, qp, kp, vp, bp, gp, lsep, delta]
+    operands = [seed, qp, kp, vp, bp, gp, op, lsep]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
         row_spec,   # q rows
@@ -842,8 +863,8 @@ def _flash_packed_bwd_impl(
         full_spec,  # v
         bias_spec,  # bias tile
         row_spec,   # do rows
-        vec_spec,   # lse
-        vec_spec,   # delta
+        row_spec,   # o rows (in-kernel delta)
+        lse_spec,   # lse
     ]
     alias_kwargs = {}
     if chained:
@@ -1019,7 +1040,7 @@ flash_attention_packed_train_chained.defvjp(
 # ---------------------------------------------------------------------------
 
 def _attn_bwd_packed_tables_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref,
     pos_ref, cx_ref, cy_ref,
     dq_ref, dk_ref, dv_ref, dt1_ref, dtx_ref, dty_ref,
     ds_scratch,
@@ -1049,6 +1070,7 @@ def _attn_bwd_packed_tables_kernel(
     kg = k_ref[0, :, cols]                               # (S, hp*D)
     vg = v_ref[0, :, cols]
     dog = do_ref[0, :, cols]
+    og = o_ref[0, :, cols]
 
     @pl.when(j == 0)
     def _init_kv():
@@ -1070,7 +1092,7 @@ def _attn_bwd_packed_tables_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias_ref[0, e].astype(jnp.float32)    # (Bq, S)
-        p = jnp.exp(s - lse_ref[0, e])
+        p = jnp.exp(s - _row_to_col(lse_ref[0, hg * heads_per_cell + e]))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -1083,7 +1105,11 @@ def _attn_bwd_packed_tables_kernel(
             dp = dp * c
         else:
             p_dropped = p
-        ds = p * (dp - delta_ref[0, e])                   # (Bq, S)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * og[:, lo:hi].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )                                                 # (Bq, 1)
+        ds = p * (dp - delta)                             # (Bq, S)
         # pad rows/cols carry ds == 0 by construction (do rows are 0-padded
         # and padded-key bias is -inf so p underflows) — safe to bucket-sum
         # the whole tile. bf16 stash = the dtype the dbias tensor had.
@@ -1180,16 +1206,11 @@ def _flash_packed_bwd_tables_impl(
     gp = _pad_to(g, 1, s_pad)
     op = _pad_to(o, 1, s_pad)
     bp = _pad_to(_pad_to(bias, 3, s_pad, NEG_INF), 2, s_pad)
-    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)
+    lsep = _pad_to(lse, 2, s_pad, -NEG_INF)  # (B, H, S_pad) dense
     posp = _pad_to(pos.astype(jnp.int32), 1, s_pad)[:, None, :]
     cxp = _pad_to(cx.astype(jnp.int32), 1, s_pad)[:, None, :]
     cyp = _pad_to(cy.astype(jnp.int32), 1, s_pad)[:, None, :]
-    delta = (
-        (gp.astype(jnp.float32) * op.astype(jnp.float32))
-        .reshape(b, s_pad, num_heads, d)
-        .sum(-1)
-        .transpose(0, 2, 1)[..., None]
-    )  # (B, H, S_pad, 1)
+    # delta (sum_d do*o per row/head) is computed IN KERNEL from the o rows
 
     n_hg = num_heads // hp
     width = hp * d
@@ -1197,8 +1218,8 @@ def _flash_packed_bwd_tables_impl(
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, hh, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((1, hp, block_q, 1),
-                            lambda i, hh, j: (i, hh, j, 0),
+    lse_spec = pl.BlockSpec((1, num_heads, block_q),
+                            lambda i, hh, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
                              lambda i, hh, j: (i, hh, j, 0),
@@ -1239,8 +1260,8 @@ def _flash_packed_bwd_tables_impl(
                 full_spec,    # v
                 bias_spec,    # bias tile
                 row_spec,     # do rows
-                vec_spec,     # lse
-                vec_spec,     # delta
+                row_spec,     # o rows (in-kernel delta)
+                lse_spec,     # lse
                 posvec_spec,  # pos
                 posvec_spec,  # cx
                 posvec_spec,  # cy
@@ -1269,7 +1290,7 @@ def _flash_packed_bwd_tables_impl(
             ),
             transcendentals=b * num_heads * s_pad * s_pad,
         ),
-    )(seed, qp, kp, vp, bp, gp, lsep, delta, posp, cxp, cyp)
+    )(seed, qp, kp, vp, bp, gp, op, lsep, posp, cxp, cyp)
 
     dq = dq4[:, :s, :]
     dk = dk4[:, :s, :].astype(k.dtype)
