@@ -23,6 +23,11 @@ from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
 class ExperimentConfig:
     # model / dataset ---------------------------------------------------
     model: str = "EElayoutlmv3"
+    # backbone size preset: "base" (reference: microsoft/layoutlmv3-base)
+    # or "tiny" (2-layer debug backbone — pairs with the debugEE preset for
+    # seconds-long smoke runs; no reference equivalent, EE/configs.py only
+    # ships base-size models)
+    model_size: str = "base"
     dataset: str = "synthetic_rvl_cdip"
     model_weights: str = "microsoft/layoutlmv3-base"
     lowercase: bool = False
@@ -128,6 +133,7 @@ NAMED_CONFIGS: Dict[str, Dict[str, Any]] = {
     ),
     "debugEE": dict(
         model="EElayoutlmv3",
+        model_size="tiny",  # seconds-long smoke runs (override: model_size=base)
         dataset="synthetic_rvl_cdip_tiny",
         epochs=1,
         lr=2e-5,

@@ -45,7 +45,17 @@ MODEL_NAMES = (
 def _backbone_config(
     cfg, num_labels: int, image_size: Optional[int], seq_len: Optional[int]
 ) -> LayoutLMv3Config:
-    bb = LayoutLMv3Config.base(num_labels=num_labels)
+    size = getattr(cfg, "model_size", "base")
+    if size == "tiny":
+        # widen the vocab to the tokenizer's range: the data layer's
+        # HashWordTokenizer emits ids in [0, 50265) regardless of model size
+        bb = LayoutLMv3Config.tiny(num_labels=num_labels).replace(
+            vocab_size=LayoutLMv3Config.base().vocab_size
+        )
+    elif size == "base":
+        bb = LayoutLMv3Config.base(num_labels=num_labels)
+    else:
+        raise ValueError(f"unknown model_size {size!r} (want 'base'/'tiny')")
     if image_size and image_size != bb.input_size:
         bb = bb.replace(input_size=image_size)
     if seq_len and seq_len > bb.max_position_embeddings - 2:
@@ -225,7 +235,10 @@ def build_model(
         params = init_ee_params(rng, model_cfg)
 
     weights = getattr(cfg, "model_weights", "") or ""
-    if weights and bb.input_size == 224:
+    if (
+        weights and bb.input_size == 224
+        and getattr(cfg, "model_size", "base") == "base"
+    ):
         pretrained = _maybe_load_pretrained(bb, weights)
         if pretrained is not None:
             classifier = params["backbone"].get("classifier")

@@ -20,6 +20,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA:CPU compile
+# time (every worker re-compiles the same tiny-model programs). The cache
+# makes warm reruns minutes faster; it is shared with bench.py's TPU cache
+# dir but entries are keyed by platform so they never collide.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "MMEE_TEST_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # JAX's CPU backend lowers matmuls to bf16-ish precision by default (oneDNN);
 # parity tests need true float32 accumulation. The env var is not wired in this
 # jax version, so set the config directly.

@@ -12,6 +12,8 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
     LayoutLMv3Config,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

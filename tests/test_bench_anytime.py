@@ -6,10 +6,13 @@ regressing between TPU runs.  Uses the same code path as the TPU run
 (BENCH_TINY only shrinks the model/data).
 """
 
+import pytest
 import sys
 import os
 
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def test_bench_anytime_tiny(monkeypatch):

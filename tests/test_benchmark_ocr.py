@@ -103,6 +103,7 @@ def test_reprocess_uses_tesseract_when_available(monkeypatch):
     assert ocr_calls["tokenized"] == 2  # tokenization per page
 
 
+@pytest.mark.slow
 def test_benchmark_ocr_inside_timed_region(monkeypatch, tmp_path):
     """The reprocessing cost lands in get_logits' reported batch time —
     i.e. the flag's timed region covers the preprocessing stages."""

@@ -40,6 +40,7 @@ def setup():
     return cfg, params, batch
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("threshold", [0.0, 0.3, 2.0])
 def test_full_capacity_matches_exact_policy(setup, threshold):
     cfg, params, batch = setup
@@ -60,6 +61,7 @@ def test_full_capacity_matches_exact_policy(setup, threshold):
     assert not np.asarray(res.capacity_exited).any()
 
 
+@pytest.mark.slow
 def test_capacity_constrained_exits_are_marked(setup):
     cfg, params, batch = setup
     B = batch[0].shape[0]
@@ -86,6 +88,7 @@ def test_capacities_from_distribution():
     assert caps == (24, 8)
 
 
+@pytest.mark.slow
 def test_cascade_gate_heads_match_exact_policy(setup):
     cfg = EEModelConfig(
         backbone=LayoutLMv3Config.tiny(num_labels=4),
@@ -110,6 +113,7 @@ def test_cascade_gate_heads_match_exact_policy(setup):
                                atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cascade_with_flash_kernels_matches_xla_path(monkeypatch):
     """The cascade's flash path (pallas bias builder + fused attention +
     once-per-cascade lane padding) must reproduce the plain XLA cascade —

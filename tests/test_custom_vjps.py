@@ -7,6 +7,7 @@ numerically identical to the autodiff of the straightforward definitions.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ def test_layer_norm_vjp_matches_autodiff():
         )
 
 
+@pytest.mark.slow
 def test_gelu_exact_vjp_matches_autodiff():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal(256) * 3, jnp.float32)
@@ -85,6 +87,7 @@ def test_gelu_exact_vjp_bf16():
     )
 
 
+@pytest.mark.slow
 def test_hash_dropout_vjp_regenerates_mask():
     """The backward regenerates the identical mask from the scalar seed: the
     gradient is exactly the forward's mask/scale applied to the cotangent."""

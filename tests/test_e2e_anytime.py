@@ -48,6 +48,8 @@ from multi_modal_early_exit_tpu.training.trainer import (
 )
 from multi_modal_early_exit_tpu.utils.wandb_compat import init_wandb
 
+pytestmark = pytest.mark.slow
+
 SEQ, IMG, LABELS = 32, 32, 4
 
 

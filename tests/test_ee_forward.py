@@ -48,11 +48,13 @@ def build(exits, strategy="ramp", use_lte=False, num_labels=5):
     return cfg, params
 
 
+@pytest.mark.slow
 def test_canonical_order_swaps_embeddings():
     cfg, _ = build(("text_avg", "vision_avg", 1, 2))
     assert canonical_exit_order(cfg.exit) == ("vision_avg", "text_avg", 1, 2)
 
 
+@pytest.mark.slow
 def test_ramp_forward_shapes():
     cfg, params = build(("text_avg", "vision_avg", "text_visual_concat", 1, 2))
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -67,6 +69,7 @@ def test_ramp_forward_shapes():
     np.testing.assert_allclose(np.asarray(store[-1]), np.asarray(out.logits))
 
 
+@pytest.mark.slow
 def test_gate_forward_shapes():
     cfg, params = build(("vision_avg", 2), strategy="gate")
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -78,6 +81,7 @@ def test_gate_forward_shapes():
     assert store.shape == (3, 2, 5)
 
 
+@pytest.mark.slow
 def test_lte_forward():
     cfg, params = build(("text_visual_concat", 1, 2), use_lte=True)
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -86,6 +90,7 @@ def test_lte_forward():
     assert bool(jnp.all((out.lte_scores >= 0) & (out.lte_scores <= 1)))
 
 
+@pytest.mark.slow
 def test_decide_exits_thresholds():
     cfg, params = build(("vision_avg", 1))
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -98,6 +103,7 @@ def test_decide_exits_thresholds():
     np.testing.assert_array_equal(np.asarray(exits), [0, 0])
 
 
+@pytest.mark.slow
 def test_ee_forward_jits():
     cfg, params = build(("text_avg", 1))
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -109,6 +115,7 @@ def test_ee_forward_jits():
     np.testing.assert_allclose(np.asarray(store), np.asarray(eager), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_mode_dropout_is_stochastic():
     cfg, params = build(("text_avg", 1))
     ids, bbox, pv, mask = make_batch(cfg.backbone)
@@ -119,6 +126,7 @@ def test_training_mode_dropout_is_stochastic():
     assert not np.allclose(np.asarray(out1.logits), np.asarray(out2.logits))
 
 
+@pytest.mark.slow
 def test_seq_pad_multiple_is_output_invariant():
     """Padding the concatenated sequence to a lane multiple (TPU alignment)
     must not change any exit/final logits — padded keys are masked out."""
@@ -161,3 +169,17 @@ def test_seq_pad_multiple_is_output_invariant():
         np.asarray(padded.exit_criteria), np.asarray(plain.exit_criteria),
         atol=2e-5, rtol=1e-4,
     )
+
+
+def test_ee_forward_jit_smoke():
+    """Fast-subset smoke: jitted policy store has the right shape, finite
+    values, and decide_exits returns valid indices (full jit-vs-eager
+    equality lives in test_ee_forward_jits, marked slow)."""
+    cfg, params = build(("text_avg", 1))
+    ids, bbox, pv, mask = make_batch(cfg.backbone)
+    fwd = jax.jit(
+        lambda p, a, b, c, d: ee_forward(p, cfg, a, b, c, d).policy_logits()
+    )
+    store = np.asarray(fwd(params, ids, bbox, pv, mask))
+    assert store.shape == (3, 2, 5)
+    assert np.isfinite(store).all()

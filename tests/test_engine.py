@@ -48,6 +48,7 @@ def setup():
     return cfg, params, batch
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("threshold", [0.0, 0.3, 0.9, 1.1])
 def test_engine_matches_batched_forward(setup, threshold):
     cfg, params, batch = setup
@@ -69,6 +70,7 @@ def test_engine_matches_batched_forward(setup, threshold):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_store_collection(setup):
     cfg, params, batch = setup
     out = ee_forward(params, cfg, batch["input_ids"], batch["bbox"],
@@ -84,6 +86,7 @@ def test_engine_store_collection(setup):
     np.testing.assert_allclose(store, expected_store, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_saves_compute_at_low_threshold(setup):
     """threshold 0 -> everyone exits at the first embedding exit; the deep
     stages never run on more than the store-collection path."""
@@ -97,6 +100,7 @@ def test_engine_saves_compute_at_low_threshold(setup):
     assert (exits == 0).all()
 
 
+@pytest.mark.slow
 def test_engine_lte_matches_batched_forward():
     """LTE inference path: engine exit decisions must equal the batched
     forward's LTE criteria + threshold rule."""
@@ -133,6 +137,7 @@ def test_engine_lte_matches_batched_forward():
     np.testing.assert_array_equal(got_exits, expected_exits)
 
 
+@pytest.mark.slow
 def test_engine_gate_heads_match_batched_forward():
     """GATE heads: engine predictions must be the classifier on the exit
     input (gated logits), with the 2-logit gate output as criterion only."""

@@ -28,7 +28,9 @@ def _rand_qkvb(rng, b, h, s, d, bias_s=None):
     return q, k, v, bias
 
 
-@pytest.mark.parametrize("s", [16, 100])
+@pytest.mark.parametrize(
+    "s", [16, pytest.param(100, marks=pytest.mark.slow)]
+)
 def test_flash_matches_reference(s):
     rng = np.random.default_rng(0)
     q, k, v, bias = _rand_qkvb(rng, 2, 3, s, 8)
@@ -37,6 +39,7 @@ def test_flash_matches_reference(s):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_respects_padding_mask():
     """Masked-out keys (bias -inf) must carry zero weight even when the
     sequence is padded up to the block size internally."""
@@ -57,6 +60,7 @@ def test_flash_respects_padding_mask():
     np.testing.assert_allclose(got, want_trunc, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_accepts_prepadded_bias():
     """Bias built at the aligned width P > S (model-level pre-pad) must give
     the same result as an S-width bias."""
@@ -72,6 +76,7 @@ def test_flash_accepts_prepadded_bias():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("s", [16, 27])
 def test_flash_gradients_match_reference(s):
     """Pallas backward kernels: grads equal XLA-composition grads, including
@@ -94,6 +99,7 @@ def test_flash_gradients_match_reference(s):
                                    atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_gradients_with_prepadded_bias():
     """dbias must come back at the caller's (pre-padded) bias shape, zero in
     the padded region, and match the XLA grads on the valid block."""
@@ -123,6 +129,7 @@ def test_flash_gradients_with_prepadded_bias():
                                    atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_dropout_forward_matches_hash_oracle():
     """In-kernel dropout must reproduce the position-hash mask exactly —
     compared against a pure-jnp oracle that applies the same hash."""
@@ -144,6 +151,7 @@ def test_flash_dropout_forward_matches_hash_oracle():
     assert np.abs(got - nodrop).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_flash_dropout_gradients_match_hash_oracle():
     """fwd and both bwd kernels regenerate the identical mask: grads equal
     jax.grad of the jnp oracle using the same hash mask."""
@@ -184,6 +192,7 @@ def test_dropout_uniform_statistics():
     assert abs((u1 < 0.5).mean() - 0.5) < 0.01
 
 
+@pytest.mark.slow
 def test_training_grads_with_flash_match_xla_path(monkeypatch):
     """Model-level wiring: jax.grad of the EE loss with the flash kernels
     forced on (interpret mode) equals the XLA composition path, and the
@@ -239,7 +248,9 @@ def test_training_grads_with_flash_match_xla_path(monkeypatch):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-@pytest.mark.parametrize("s", [52, 64])
+@pytest.mark.parametrize(
+    "s", [52, pytest.param(64, marks=pytest.mark.slow)]
+)
 def test_packed_forward_matches_reference(s):
     """The packed-layout kernel (q/k/v as (B, S, H*D), heads innermost in
     the grid, per-head lane slices) must equal the (B,H,S,D) reference."""
@@ -260,6 +271,7 @@ def test_packed_forward_matches_reference(s):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_forward_prepadded_bias():
     """Bias wider than S (model-level lane pre-pad) is consumed as-is; the
     -inf pad keys must not disturb real rows."""
@@ -285,6 +297,7 @@ def test_packed_forward_prepadded_bias():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_train_forward_matches_headform_kernel_with_dropout():
     """The packed train kernel must reproduce the (B,H,S,D) kernel's output
     BIT-comparably under dropout: both use the same position-hash mask
@@ -312,6 +325,7 @@ def test_packed_train_forward_matches_headform_kernel_with_dropout():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rate", [0.0, 0.25])
 def test_packed_train_grads_match_headform_kernel(rate):
     """Packed fused backward == (B,H,S,D) fused backward for dq/dk/dv/dbias
@@ -352,6 +366,7 @@ def test_packed_train_grads_match_headform_kernel(rate):
         )
 
 
+@pytest.mark.slow
 def test_flash_gradients_bias_wider_than_block_pad():
     """Regression: bias pre-padded WIDER than ceil(S/block_q)*block_q — the
     backward must return dbias at the bias's full (pre-padded) shape, not at
@@ -381,6 +396,7 @@ def test_flash_gradients_bias_wider_than_block_pad():
                                    atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_train_grads_with_prepadded_bias():
     """Same regression for the packed train pair: pre-padded bias wider than
     the q-block padding must round-trip dbias at the bias shape."""
@@ -440,6 +456,7 @@ def test_packed_train_raises_on_untileable_bias():
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rate", [0.0, 0.25])
 def test_packed_train_tables_grads_match_reference(rate):
     """flash_attention_packed_train_tables: dq/dk/dv AND the in-kernel
@@ -518,6 +535,7 @@ def test_packed_train_tables_grads_match_reference(rate):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_bias_context_wiring_matches_xla_path(monkeypatch):
     """Model-level wiring of the in-kernel-table-gradient path: with a bf16
     model and flash forced on (interpret mode), backbone_apply builds a
@@ -586,6 +604,7 @@ def test_train_bias_context_wiring_matches_xla_path(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_chained_dbias_wiring_matches_xla_path(monkeypatch):
     """The chained-dbias training default (bias carried through the encoder
     scan, per-layer in-kernel cotangent accumulation): jax.grad of the EE
@@ -647,6 +666,7 @@ def test_chained_dbias_wiring_matches_xla_path(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_packed_train_chained_default_block_on_128_pad():
     """Regression: with the DEFAULT block_q (256) and a bias pre-padded to a
     128-multiple that is NOT 256-aligned (here S=100 -> pad 128), the
@@ -691,6 +711,7 @@ def test_packed_train_chained_default_block_on_128_pad():
         )
 
 
+@pytest.mark.slow
 def test_packed_train_chained_accumulates_bias_cotangent():
     """The chained op returns (out, bias) and its backward must emit
     d(bias) = upstream-bias-cotangent + ds — i.e. exactly the plain op's

@@ -24,6 +24,7 @@ def interpret_mode():
         yield
 
 
+@pytest.mark.slow
 def test_fused_bias_attention_matches_two_step():
     cfg = LayoutLMv3Config.tiny()  # rel_pos_bins 8, rel_2d 16
     rng = np.random.default_rng(0)
@@ -75,6 +76,7 @@ def test_fused_bias_attention_matches_two_step():
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_model_level_fused_bias_path(monkeypatch):
     """ee_forward with MMEE_FUSED_BIAS must equal the dense-bias forward."""
     from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
@@ -113,6 +115,7 @@ def test_model_level_fused_bias_path(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_materialize_bias_matches_xla_chain():
     """The pallas bias builder must equal make_attention_bias(pad_to=P)
     (bf16 tolerance; -inf pad columns)."""
@@ -169,6 +172,7 @@ def test_materialize_bias_matches_xla_chain():
     assert (got[0, :, :s, s - 4:s] < -1e29).all()
 
 
+@pytest.mark.slow
 def test_materialize_bias_table_gradients():
     """Custom VJP: table grads equal jax.grad through the XLA gather chain
     (same buckets, same sums — up to the kernel's bf16 lookup rounding which
@@ -219,6 +223,7 @@ def test_materialize_bias_table_gradients():
                                    atol=1e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_prepadded_bias_pad_rows_are_finite():
     """make_attention_bias(pad_to=P) must pad key COLUMNS with -inf but
     query ROWS with finite values: an all--inf row has an undefined row

@@ -32,6 +32,8 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
     init_params,
 )
 
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(
     os.path.dirname(__file__), "golden", "layoutlmv3_base_golden.npz"
 )

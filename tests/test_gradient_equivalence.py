@@ -137,6 +137,7 @@ def assert_trees_close(a, b, atol=1e-5, rtol=1e-4):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("head_type", ["ramp", "gate"])
 def test_subgraphs_weighted_equals_per_exit_backward_loop(head_type):
     cfg, params, batch = make_setup(head_type=head_type)
@@ -148,6 +149,7 @@ def test_subgraphs_weighted_equals_per_exit_backward_loop(head_type):
     assert_trees_close(got, want)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("head_type", ["ramp", "gate"])
 def test_entropyreg_equals_post_hoc_grad_surgery(head_type):
     cfg, params, batch = make_setup(
@@ -164,6 +166,7 @@ def test_entropyreg_equals_post_hoc_grad_surgery(head_type):
     assert_trees_close(got, want)
 
 
+@pytest.mark.slow
 def test_branch_isolation_assumption_holds_for_ramps():
     """entropyreg's exactness rests on: exit-head params receive gradient
     ONLY from their own exit's loss. Verify directly: the gradient of every
@@ -187,6 +190,7 @@ def test_branch_isolation_assumption_holds_for_ramps():
         assert np.all(np.asarray(leaf) == 0)
 
 
+@pytest.mark.slow
 def test_gate_classifier_grads_flow_from_final_loss_only():
     """Observable-behavior parity (losses.py note): gate exit losses are BCE
     on the 2-logit heads; the shared classifier's gradient comes from the

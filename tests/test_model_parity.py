@@ -97,6 +97,7 @@ def test_position_ids_match_torch():
     np.testing.assert_array_equal(np.asarray(got), want.numpy())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seq", [16, 12])
 def test_backbone_parity(seq):
     cfg = tiny_cfg()
@@ -126,6 +127,7 @@ def test_backbone_parity(seq):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sequence_classification_parity():
     cfg = tiny_cfg(num_labels=7)
     hf_conf = hf_cfg_from(cfg, 7)
@@ -156,6 +158,7 @@ def test_sequence_classification_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_converter_round_trip_identity_base_size():
     """Exporter ∘ importer == identity at BASE size (VERDICT r3 #2a): the
     golden-base artifact is generated through the exporter

@@ -23,6 +23,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.slow
 def test_image_only_forward(tiny):
     cfg, params = tiny
     cfg = cfg.replace(
@@ -36,6 +37,7 @@ def test_image_only_forward(tiny):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_text_only_forward(tiny):
     cfg, params = tiny
     ids = jnp.asarray(
@@ -48,6 +50,7 @@ def test_text_only_forward(tiny):
 
 @pytest.mark.parametrize("name", ["dit", "bert", "layoutlmv3", "EElayoutlmv3",
                                   "LTElayoutlmv3"])
+@pytest.mark.slow
 def test_registry_builds(name):
     cfg = ExperimentConfig(model=name, exits=("text_avg", 1))
     model_cfg, params = build_model(

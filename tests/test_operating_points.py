@@ -20,6 +20,7 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
 )
 
 
+@pytest.mark.slow
 def test_cascade_temperatures_match_calibrated_offline_policy():
     """Cascade with per-exit temperatures must make the same decisions as the
     offline policy scan over the temperature-scaled logit store, while its

@@ -30,6 +30,7 @@ def test_create_mesh_validates_shape():
         create_mesh((3, 2))
 
 
+@pytest.mark.slow
 def test_param_specs_shard_attention_and_mlp():
     from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
     from multi_modal_early_exit_tpu.models.ee.model import init_ee_params
@@ -78,6 +79,7 @@ def test_shard_batch_splits_leading_axis():
     assert len(out["ids"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_flash_attention_matches_unsharded():
     """The shard_map wrapper (batch on data, heads on model) must equal the
     unsharded kernel exactly in the deterministic case — the multi-chip
@@ -110,6 +112,7 @@ def test_sharded_flash_attention_matches_unsharded():
                                 bias[:, :3])
 
 
+@pytest.mark.slow
 def test_sharded_ee_forward_matches_single_device():
     """Deterministic EE forward under the DP x TP mesh == single-device
     output (the dryrun_multichip inference proof, testable on CPU)."""
@@ -160,6 +163,7 @@ def test_sharded_ee_forward_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_cascade_under_dp_mesh_matches_single_device():
     """The single-program cascade jitted with batch-sharded inputs over a
     pure-DP mesh must reproduce the single-device decisions and logits —
@@ -211,6 +215,7 @@ def test_cascade_under_dp_mesh_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_flash_attention_dropout_decorrelated_across_shards():
     """With dropout on, each shard's kernel hashes LOCAL (batch, head)
     indices — the wrapper must offset the seed per shard, or identical rows

@@ -96,6 +96,7 @@ def setup():
     return cfg, params, batch
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("t", [1.0, 2.0, 99.0])
 def test_decide_exits_matches_naive_scan(setup, t):
     cfg, params, batch = setup
@@ -105,6 +106,7 @@ def test_decide_exits_matches_naive_scan(setup, t):
     np.testing.assert_array_equal(got, naive_patience_scan(store, t))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("t", [1.0, 2.0])
 def test_cascade_patience_matches_exact_policy(setup, t):
     cfg, params, batch = setup
@@ -123,6 +125,7 @@ def test_cascade_patience_matches_exact_policy(setup, t):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("t", [1.0, 2.0])
 def test_engine_patience_matches_exact_policy(setup, t):
     cfg, params, batch = setup

@@ -20,6 +20,7 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
 )
 
 
+@pytest.mark.slow
 def test_forward_is_deterministic_across_calls():
     cfg = EEModelConfig(
         backbone=LayoutLMv3Config.tiny(num_labels=4),
@@ -39,6 +40,7 @@ def test_forward_is_deterministic_across_calls():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_init_is_seed_deterministic():
     cfg = EEModelConfig(
         backbone=LayoutLMv3Config.tiny(num_labels=4),

@@ -28,6 +28,7 @@ def pipe():
                     batch_size=4, seq_len=32)
 
 
+@pytest.mark.slow
 def test_predict_from_words_and_images(pipe):
     from PIL import Image
 
@@ -47,6 +48,7 @@ def test_predict_from_words_and_images(pipe):
     assert len({r["label"] for r in results}) == 1
 
 
+@pytest.mark.slow
 def test_pipeline_checkpoint_roundtrip(tmp_path, pipe):
     from multi_modal_early_exit_tpu.config.experiment import ExperimentConfig
     from multi_modal_early_exit_tpu.training.checkpoint import save_checkpoint

@@ -45,6 +45,7 @@ def make_batch(cfg, B=4, S=16, seed=0):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", [s.value for s in EarlyExitStrategy])
 def test_strategy_loss_and_grads_finite(strategy):
     head = "gate" if "two_stage" in strategy else "ramp"
@@ -69,6 +70,7 @@ def test_strategy_loss_and_grads_finite(strategy):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
 
+@pytest.mark.slow
 def test_two_stage_freezes_backbone():
     cfg = EEModelConfig(
         backbone=LayoutLMv3Config.tiny(num_labels=4),
@@ -102,6 +104,7 @@ def test_two_stage_freezes_backbone():
                  new_params["backbone"]["classifier"]) > 0.0
 
 
+@pytest.mark.slow
 def test_entropyreg_changes_exit_branch_grads_only():
     base = dict(exits=("text_avg", 1), gamma=0.5)
     cfg_plain = EEModelConfig(
@@ -145,6 +148,7 @@ def test_entropyreg_changes_exit_branch_grads_only():
     assert trunk_delta < 1e-6
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_same_grads():
     """Remat must not change gradients, only memory."""
     base_bb = LayoutLMv3Config.tiny(num_labels=4)
@@ -166,6 +170,7 @@ def test_gradient_checkpointing_same_grads():
                                    atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_trains():
     """bf16 forward with f32 master params: grads f32, loss finite, close to
     the f32 loss."""
@@ -187,6 +192,7 @@ def test_bf16_mixed_precision_trains():
         assert g.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_lte_losses_match_reference_semantics_when_aligned():
     """Pinned-behavior test for the LTE loss (VERDICT round-1 weak #8).
 

@@ -26,6 +26,7 @@ from multi_modal_early_exit_tpu.models.layoutlmv3.modeling import (
 from multi_modal_early_exit_tpu.models.registry import build_model
 
 
+@pytest.mark.slow
 def test_single_modality_params_pruned():
     """dit allocates no text tower, bert no vision tower, and neither the
     multimodal post-concat LayerNorm (VERDICT r3 #7: the registry used to
@@ -105,6 +106,7 @@ def test_dit_torch_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_bert_torch_parity():
     """Text-only forward (bert) vs the HF torch model driven without
     pixel_values — text(+zero-layout) embeddings + 1D relative bias."""
@@ -135,6 +137,7 @@ def test_bert_torch_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["dit", "bert"])
 def test_variant_trains(name):
     """A few optimizer steps on synthetic data: the loss must drop — the
