@@ -341,11 +341,16 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     )
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
-    n_train = int(os.environ.get("BENCH_ANYTIME_TRAIN", 96 if tiny else 512))
+    n_train = int(os.environ.get("BENCH_ANYTIME_TRAIN", 96 if tiny else 1024))
     n_eval = int(os.environ.get("BENCH_ANYTIME_EVAL", 64 if tiny else 256))
-    epochs = int(os.environ.get("BENCH_ANYTIME_EPOCHS", 8))
+    epochs = int(os.environ.get("BENCH_ANYTIME_EPOCHS", 16))
     train_batch = int(os.environ.get("BENCH_ANYTIME_BATCH", 8 if tiny else 16))
-    lr = float(os.environ.get("BENCH_ANYTIME_LR", 1e-3 if tiny else 1e-4))
+    # from-scratch base-size training: the difficulty>0 task needs a real
+    # optimization recipe (warmup + 6e-4) — at the old 8-epoch/1e-4 recipe
+    # the deep path stays near chance while the embedding heads learn,
+    # inverting the anytime curve
+    lr = float(os.environ.get("BENCH_ANYTIME_LR", 1e-3 if tiny else 6e-4))
+    warmup = float(os.environ.get("BENCH_ANYTIME_WARMUP", 0.1))
     # non-saturating task by default: token/visual ambiguity + label noise
     # (data/datasets.synthetic_tokens) so iso-accuracy operating points are
     # non-degenerate — full-depth accuracy < 1 and early exits genuinely
@@ -384,7 +389,7 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     steps = n_train // train_batch
     args = TrainingArguments(
         learning_rate=lr, train_batch_size=train_batch, bf16=True,
-        num_epochs=epochs, seed=0,
+        num_epochs=epochs, seed=0, warmup_ratio=warmup,
     )
     params = init_ee_params(jax.random.key(0), cfg)
     trainer = EETrainer(cfg, params, args, total_steps=epochs * steps)

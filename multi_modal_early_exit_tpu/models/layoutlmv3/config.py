@@ -40,6 +40,11 @@ class LayoutLMv3Config:
     rel_2d_pos_bins: int = 64
     max_rel_2d_pos: int = 256
     has_spatial_attention_bias: bool = True
+    # v3 adds the relative bias scaled by 1/sqrt(head_dim)
+    # (modeling_layoutlmv3: `+ (rel_pos + rel_2d_pos) / sqrt(d)`); v2 adds it
+    # UNSCALED with the query pre-scaled (modeling_layoutlmv2
+    # LayoutLMv2SelfAttention.forward). The v2 encoder sets this False.
+    scale_bias: bool = True
     text_embed: bool = True
     visual_embed: bool = True
     input_size: int = 224

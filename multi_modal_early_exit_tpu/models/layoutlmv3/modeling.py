@@ -901,7 +901,7 @@ def kernel_attention_bias(
     )
 
     enc = p["encoder"]
-    scale = 1.0 / math.sqrt(cfg.head_dim)
+    scale = 1.0 / math.sqrt(cfg.head_dim) if cfg.scale_bias else 1.0
     return materialize_bias(
         position_ids.astype(jnp.int32),
         bbox[:, :, 0].astype(jnp.int32),
@@ -941,7 +941,7 @@ def make_attention_bias(
     rounded-once; the f32 path is numerically identical to the reference.
     """
     enc = p["encoder"]
-    scale = 1.0 / math.sqrt(cfg.head_dim)
+    scale = 1.0 / math.sqrt(cfg.head_dim) if cfg.scale_bias else 1.0
     neg = jnp.finfo(jnp.float32).min
     if cfg.has_relative_attention_bias and cfg.has_spatial_attention_bias:
         # single-gather fused path; scale folded into the tiny table

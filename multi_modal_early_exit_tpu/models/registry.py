@@ -205,20 +205,36 @@ def build_model(
     if name == "LTElayoutlmv3":
         exit_cfg = ExitConfig(**{**exit_cfg.to_dict(), "use_lte": True})
     if name == "layoutlmv2":
-        # Served by the v3 architecture (documented in README/PARITY.md).
-        # The genuine v2 differences — detectron2 ResNeXt-FPN visual
-        # backbone, concatenated x0/y0/x1/y1/h/w coordinate embeddings —
-        # are out of scope: the reference only instantiates v2 through HF
-        # AutoModel (EE/configs.py:451-462) and never uses it in its EE
-        # experiments. Warn so nobody mistakes this for real v2 weights.
-        from multi_modal_early_exit_tpu.utils.logging import logger_message
-
-        logger_message(
-            "model 'layoutlmv2' is served by the LayoutLMv3 architecture "
-            "(no detectron2 visual backbone); see PARITY.md",
-            type="warning",
+        # The GENUINE v2 architecture (models/layoutlmv2): ResNeXt-FPN
+        # visual tower pooled to the 7x7 grid, visual-grid spatial
+        # embeddings, unscaled relative bias, 3x-hidden concat classifier
+        # (parity: HF LayoutLMv2ForSequenceClassification; the reference
+        # builds it through AutoModel, EE/configs.py:451-462). Returns a
+        # (LayoutLMv2Config, params) bundle — a dense baseline with no EE
+        # heads; train it via make_train_step(loss_fn=
+        # layoutlmv2.sequence_classification_loss).
+        from multi_modal_early_exit_tpu.models.layoutlmv2 import (
+            LayoutLMv2Config,
         )
-    if name in ("layoutlmv3", "dit", "dit_rvl", "bert", "layoutlmv2"):
+        from multi_modal_early_exit_tpu.models.layoutlmv2.modeling import (
+            init_params as init_v2_params,
+        )
+
+        size = getattr(cfg, "model_size", "base")
+        v2 = (LayoutLMv2Config.tiny if size == "tiny" else LayoutLMv2Config.base)(
+            num_labels=num_labels
+        )
+        if num_hidden_layers:
+            v2 = v2.replace(num_hidden_layers=num_hidden_layers)
+        if image_size and image_size != v2.input_size:
+            v2 = v2.replace(input_size=image_size)
+        if seq_len and seq_len > v2.max_position_embeddings - 2:
+            v2 = v2.replace(max_position_embeddings=seq_len + 2)
+        if size == "tiny":
+            v2 = v2.replace(vocab_size=LayoutLMv2Config.base().vocab_size)
+        return v2, init_v2_params(rng, v2)
+
+    if name in ("layoutlmv3", "dit", "dit_rvl", "bert"):
         # dense models: no exits; single-modality variants only allocate the
         # tower they use (dit has no word/layout embeddings, bert no visual
         # patch tower — reference: EE/configs.py:429-449, 482-493)

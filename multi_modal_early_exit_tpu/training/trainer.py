@@ -115,6 +115,7 @@ def make_train_step(
     exit_weights: Optional[jax.Array],
     accum_steps: int = 1,
     compute_dtype=None,
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -122,12 +123,19 @@ def make_train_step(
     Uses lax.scan to accumulate grads, then one optimizer update.
     ``compute_dtype=jnp.bfloat16`` enables mixed-precision (f32 master
     params/grads, bf16 forward).
+
+    ``loss_fn`` (default: the EE objective ``ee_loss_fn``) lets dense
+    baselines train through the same machinery — e.g.
+    ``models.layoutlmv2.sequence_classification_loss`` (the reference
+    trains its dense AutoModels through the same generic HF Trainer,
+    EE/IC_only.py:176-178). Must have ee_loss_fn's signature.
     """
-    strategy = cfg.exit.training_strategy
-    use_entropyreg = strategy.uses_entropyreg
+    strategy = cfg.exit.training_strategy if hasattr(cfg, "exit") else None
+    use_entropyreg = strategy.uses_entropyreg if strategy is not None else False
+    loss_fn = loss_fn if loss_fn is not None else ee_loss_fn
 
     def loss_and_grads(params, micro_batch, rng):
-        (loss, aux), grads = jax.value_and_grad(ee_loss_fn, has_aux=True)(
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, micro_batch, rng=rng, exit_weights=exit_weights,
             compute_dtype=compute_dtype,
         )
