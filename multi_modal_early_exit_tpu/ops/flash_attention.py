@@ -679,17 +679,15 @@ def _attn_bwd_packed_kernel(
     b_idx = pl.program_id(0)
     hg = pl.program_id(1)
     j = pl.program_id(2)
-    width = heads_per_cell * head_dim
-    cols = (
-        slice(None) if width == q_ref.shape[-1]
-        else pl.ds(hg * width, width)
-    )
-    # input-dtype matmuls (see _attn_bwd_fused_kernel)
-    qg = q_ref[0, :, cols]                               # (Bq, hp*D)
-    kg = k_ref[0, :, cols]                               # (S, hp*D)
-    vg = v_ref[0, :, cols]
-    dog = do_ref[0, :, cols]
-    og = o_ref[0, :, cols]
+    # q/k/v/do/o arrive lane-dim-blocked to this cell's head-group columns
+    # (width = hp*D): the spec slices the group, so k/v DMA per (b, group)
+    # is width/hd of the full rows instead of all heads' columns. Input-
+    # dtype matmuls (see _attn_bwd_fused_kernel).
+    qg = q_ref[0]                                        # (Bq, hp*D)
+    kg = k_ref[0]                                        # (S, hp*D)
+    vg = v_ref[0]
+    dog = do_ref[0]
+    og = o_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -830,41 +828,39 @@ def _flash_packed_bwd_impl(
 
     n_hg = num_heads // hp
     width = hp * d
-    row_spec = pl.BlockSpec((1, block_q, hd), lambda i, hh, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
-    full_spec = pl.BlockSpec((1, s_pad, hd), lambda i, hh, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, num_heads, block_q),
                             lambda i, hh, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, hp, block_q, s_pad),
                              lambda i, hh, j: (i, hh, j, 0),
                              memory_space=pltpu.VMEM)
-    # grouped outputs written DIRECTLY into the packed (B, S, hd) layout:
-    # every grid cell owns a full (lane-dim-blocked) block of its head
-    # group's columns — dq per (group, q-block); dk/dv per group,
-    # accumulated over the innermost j sweep only (the head-form kernel's
-    # proven revisit pattern). Blocking the lane dim in the SPEC keeps all
-    # in-kernel stores full-block (no dynamic lane-slice stores on
-    # revisited buffers) while eliminating the (B, n_hg, S, width) ->
-    # (B, S, hd) XLA transpose passes the old grouped layout needed.
-    dq_spec = pl.BlockSpec((1, block_q, width),
-                           lambda i, hh, j: (i, j, hh),
-                           memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((1, s_pad, width),
-                            lambda i, hh, j: (i, 0, hh),
-                            memory_space=pltpu.VMEM)
+    # ALL packed operands and outputs are lane-dim-blocked to the cell's
+    # head-group columns: every block is full-width for its cell (no
+    # dynamic lane-slice loads/stores), q/do/o rows cost the same total DMA
+    # as unblocked, and k/v rows per (b, group) shrink from all heads'
+    # columns to the group's width/hd slice (6x less k/v traffic at the
+    # base config). dq per (group, q-block); dk/dv accumulate per group
+    # over the innermost j sweep (the head-form kernel's proven revisit
+    # pattern); everything lands DIRECTLY in the packed (B, S, hd) layout.
+    row_spec_g = pl.BlockSpec((1, block_q, width),
+                              lambda i, hh, j: (i, j, hh),
+                              memory_space=pltpu.VMEM)
+    kv_spec_g = pl.BlockSpec((1, s_pad, width),
+                             lambda i, hh, j: (i, 0, hh),
+                             memory_space=pltpu.VMEM)
+    dq_spec = row_spec_g
+    acc_spec = kv_spec_g
     chained = gbias is not None
     operands = [seed, qp, kp, vp, bp, gp, op, lsep]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-        row_spec,   # q rows
-        full_spec,  # k
-        full_spec,  # v
-        bias_spec,  # bias tile
-        row_spec,   # do rows
-        row_spec,   # o rows (in-kernel delta)
-        lse_spec,   # lse
+        row_spec_g,  # q rows (group columns)
+        kv_spec_g,   # k (group columns)
+        kv_spec_g,   # v
+        bias_spec,   # bias tile
+        row_spec_g,  # do rows
+        row_spec_g,  # o rows (in-kernel delta)
+        lse_spec,    # lse
     ]
     alias_kwargs = {}
     if chained:
