@@ -383,6 +383,7 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             exit=ExitConfig(
                 exits=("text_avg", "vision_avg", 1),
                 training_strategy="one_stage_subgraphs_weighted",
+                gamma=float(os.environ.get("BENCH_GAMMA", 0.7)),
             ),
         )
         serve_batch = min(serve_batch, 32)
