@@ -695,7 +695,9 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "all")
     K = int(os.environ.get("BENCH_K", 16))
-    # measured sweet spots on v5e: cascade peaks at batch 64, harvest at 32
+    # measured sweet spots on v5e: cascade peaks at batch 64, harvest at
+    # 32, train at 32 (r4: the lse/copy eliminations made batch a lever
+    # again — 141.7 @ 16 vs 147.3 @ 32; 48 trips the AOT HBM budget)
     batch_env = os.environ.get("BENCH_BATCH")
 
     def batch_for(m, default):
@@ -704,7 +706,7 @@ def main() -> None:
     runners = {
         "cascade": lambda: bench_cascade(batch_for("cascade", 64), K),
         "harvest": lambda: bench_harvest(batch_for("harvest", 32), K),
-        "train": lambda: bench_train(batch_for("train", 16)),
+        "train": lambda: bench_train(batch_for("train", 32)),
         "anytime": lambda: bench_anytime(batch_for("anytime", 64), K),
     }
 

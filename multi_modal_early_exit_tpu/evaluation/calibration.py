@@ -111,5 +111,15 @@ def calibrate_exit_logits(
         "accuracy": acc,
         "temperature": temperatures,
         "average_confidence": avg_conf,
+        # provenance: the reference computes ECE via the jordyvl/ece hub
+        # metric (EE/metrics.py:479-498), unfetchable offline. Our
+        # ece_logits pins the hub metric's documented scipy substrate
+        # (equal-mass quantile edges, binned_statistic/digitize
+        # conventions) and is asserted against an independent scipy oracle
+        # + golden vectors (PARITY.md #26) — recorded here so downstream
+        # consumers of accuracy_calibration_heuristic thresholds can see
+        # the convention this ECE was computed under.
+        "ece_convention": "equal-mass-quantile/scipy-binned_statistic "
+                          "(local reimpl of jordyvl/ece; PARITY.md #26)",
     }
     return calibrated, metrics
