@@ -514,9 +514,10 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             p, cfg, ids, bbox, pv, mask, seq_pad_multiple=128
         ).policy_logits().astype(jnp.float32)
 
-    # the all-exits harvest keeps the full (B,H,S,S) bias live; batch 32 is
-    # its measured sweet spot and 64 trips the AOT compiler's HBM budget
-    harvest_batch = min(serve_batch, 32)
+    # the all-exits harvest keeps the full (B,H,S,S) bias live; 48 is the
+    # measured sweet spot after the r4 memory slimming (531 @ 32, 579 @
+    # 40-48, 565 @ 64 — the old 64-OOM is gone but bandwidth rolls off)
+    harvest_batch = min(serve_batch, 48)
 
     def harvest(data):
         stores = []
@@ -695,9 +696,9 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "all")
     K = int(os.environ.get("BENCH_K", 16))
-    # measured sweet spots on v5e: cascade peaks at batch 64, harvest at
-    # 32, train at 32 (r4: the lse/copy eliminations made batch a lever
-    # again — 141.7 @ 16 vs 147.3 @ 32; 48 trips the AOT HBM budget)
+    # measured sweet spots on v5e (r4): cascade batch 64, harvest 48
+    # (531 @ 32 -> 579 @ 48; 64 compiles now but rolls off to 565), train
+    # 32 (141.7 @ 16 -> 147.3 @ 32; 48 trips the AOT HBM budget)
     batch_env = os.environ.get("BENCH_BATCH")
 
     def batch_for(m, default):
@@ -705,7 +706,7 @@ def main() -> None:
 
     runners = {
         "cascade": lambda: bench_cascade(batch_for("cascade", 64), K),
-        "harvest": lambda: bench_harvest(batch_for("harvest", 32), K),
+        "harvest": lambda: bench_harvest(batch_for("harvest", 48), K),
         "train": lambda: bench_train(batch_for("train", 32)),
         "anytime": lambda: bench_anytime(batch_for("anytime", 64), K),
     }
