@@ -119,6 +119,7 @@ def select_operating_points(
     threshold_grid: Optional[Sequence[float]] = None,
     margin: float = 1.25,
     multiple: int = 8,
+    tail: Optional[float] = 0.995,
 ) -> list:
     """Pick one OperatingPoint per accuracy budget.
 
@@ -159,7 +160,7 @@ def select_operating_points(
                 exit_distribution=dist,
                 capacities=capacities_from_distribution(
                     dist, batch, n_emb, n_stages, margin=margin,
-                    multiple=multiple,
+                    multiple=multiple, tail=tail,
                 ),
             )
         )

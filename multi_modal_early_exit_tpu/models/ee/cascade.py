@@ -62,16 +62,42 @@ def capacities_from_distribution(
     n_stages: int,
     margin: float = 1.25,
     multiple: int = 8,
+    tail: Optional[float] = None,
 ) -> Tuple[int, ...]:
-    """Per-stage capacities from a (validation) exit distribution: the
-    expected survivor count entering each encoder stage, with safety margin,
-    rounded up to a lane-friendly multiple and capped at batch."""
+    """Per-stage capacities from a (validation) exit distribution.
+
+    Two sizing rules:
+
+    - ``margin`` (legacy): expected survivor count × a flat safety factor.
+      A flat factor wastes rows at high survival rates — p=0.74 at batch
+      64 gives 59.2 → rounds to the FULL batch, so the stage saves
+      nothing even though overflow was never likely.
+    - ``tail`` (preferred when set, e.g. 0.995): a binomial-tail quantile
+      — cap = mean + z·sqrt(B·p·(1−p)) with z = Phi^{-1}(tail), i.e. the
+      smallest capacity that covers the stage's survivor count in a
+      ``tail`` fraction of batches (survivor counts are Binomial(B, p)
+      for i.i.d. batches). p=0.74/B=64 gives 47.4 + 2.58·3.5 → 56: one
+      lane-group fewer than the flat margin with a quantified overflow
+      rate; overflowing samples exit with their best-so-far logits
+      (capacity-constrained exiting), so the cost of the rare overflow is
+      bounded and measured, not a failure.
+
+    Rounded up to a lane-friendly ``multiple``, capped at ``batch``.
+    """
     surv = 1.0
     for j in range(n_emb):
         surv -= exit_distribution.get(j, 0.0)
     caps = []
     for s in range(n_stages):
-        c = min(batch, int(np.ceil(surv * batch * margin / multiple)) * multiple)
+        p = min(max(surv, 0.0), 1.0)
+        if tail is not None:
+            from scipy.stats import norm
+
+            z = float(norm.ppf(tail))
+            want = p * batch + z * np.sqrt(batch * p * (1.0 - p))
+        else:
+            want = p * batch * margin
+        c = min(batch, int(np.ceil(want / multiple)) * multiple)
         caps.append(max(c, multiple))
         surv -= exit_distribution.get(n_emb + s, 0.0)
     return tuple(caps)

@@ -67,8 +67,10 @@ class Pipeline:
         n_emb = sum(1 for e in self.order if isinstance(e, str))
         n_stages = len([e for e in self.order if isinstance(e, int)]) + 1
         if exit_distribution:
+            # binomial-tail sizing (99.5% no-overflow per batch); see
+            # capacities_from_distribution for the rule and its tradeoff
             caps = capacities_from_distribution(
-                exit_distribution, batch_size, n_emb, n_stages
+                exit_distribution, batch_size, n_emb, n_stages, tail=0.995
             )
         else:
             caps = tuple([batch_size] * n_stages)  # conservative: exact policy

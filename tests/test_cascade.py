@@ -88,6 +88,24 @@ def test_capacities_from_distribution():
     assert caps == (24, 8)
 
 
+def test_capacities_binomial_tail_beats_flat_margin_at_high_survival():
+    """tail sizing: mean + z*sigma of Binomial(B, p). At p=0.737/B=64 the
+    flat 1.25 margin rounds to the FULL batch (the stage saves nothing)
+    while the 99.5% binomial quantile needs only 56 rows."""
+    dist = {0: 0.26, 1: 0.02, 2: 0.707, 3: 0.011}
+    flat = capacities_from_distribution(dist, 64, n_emb=2, n_stages=2)
+    tailed = capacities_from_distribution(
+        dist, 64, n_emb=2, n_stages=2, tail=0.995
+    )
+    assert flat == (64, 8)
+    assert tailed == (56, 8)
+    # certain survival must still cover the whole batch
+    all_deep = {0: 0.0, 1: 0.0}
+    assert capacities_from_distribution(
+        all_deep, 64, n_emb=2, n_stages=1, tail=0.995
+    ) == (64,)
+
+
 @pytest.mark.slow
 def test_cascade_gate_heads_match_exact_policy(setup):
     cfg = EEModelConfig(
