@@ -141,11 +141,32 @@ def select_operating_points(
     full_acc = float(np.mean(store[-1].argmax(-1) == labels))
     swept = sweep_thresholds(store, labels, threshold_grid)
 
+    def pick(candidates, eps):
+        ok = [s for s in candidates if s[1] >= full_acc - eps]
+        if not ok:
+            return None
+        return min(ok, key=lambda s: (s[2], s[0]))
+
     points = []
     for name, eps in accuracy_drops:
-        ok = [s for s in swept if s[1] >= full_acc - eps]
-        if ok:
-            t, acc, avg_exit, dist = min(ok, key=lambda s: (s[2], s[0]))
+        best = pick(swept, eps)
+        if best is not None:
+            # refine around the coarse winner: confidence mass often
+            # concentrates inside one coarse step (e.g. most exit-0 MSPs in
+            # (0.65, 0.70)), so a 0.01-granular local sweep can find a
+            # strictly shallower point inside the same budget
+            fine_grid = sorted(
+                {round(best[0] + d, 4) for d in np.arange(-0.04, 0.05, 0.01)}
+                - set(s[0] for s in swept)
+            )
+            fine_grid = [t for t in fine_grid if 0.0 < t < 1.0]
+            if fine_grid:
+                refined = pick(
+                    swept + sweep_thresholds(store, labels, fine_grid), eps
+                )
+                if refined is not None:
+                    best = refined
+            t, acc, avg_exit, dist = best
         else:  # nothing qualifies: serve full depth (threshold > 1 never exits)
             t, acc, avg_exit = 1.01, full_acc, float(store.shape[0] - 1)
             dist = {store.shape[0] - 1: 1.0}
