@@ -83,12 +83,34 @@ def main(argv: Optional[list] = None) -> dict:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--plot", action="store_true",
                         help="save an accuracy-vs-average-exit Pareto scatter")
+    parser.add_argument("--time-sweeps", action="store_true",
+                        help="wall-clock naive/opt0/opt1 global sweeps and "
+                        "record sweep_timings.json (the reference's "
+                        "__main__ harness, EE/thresh.py:313-315)")
     args = parser.parse_args(argv)
 
     logits = load_npz(os.path.join(args.checkpoint_dir, "exit_logits-test.npz"))
     references = load_npz(
         os.path.join(args.checkpoint_dir, "references-test.npz")
     )
+
+    if args.time_sweeps:
+        from multi_modal_early_exit_tpu.evaluation.thresholds import (
+            time_global_sweeps,
+        )
+
+        # the reference's comparison grid (thresh.py:312): 100 thresholds;
+        # skip the O(T*N*E) python naive above 2k samples to keep it sane
+        grid = np.linspace(0.1, 0.2, 100)
+        timings = time_global_sweeps(
+            logits, grid, args.csf, include_naive=logits.shape[1] <= 2000
+        )
+        save_json(
+            os.path.join(args.checkpoint_dir, "sweep_timings.json"),
+            {"csf": args.csf, "n_thresholds": len(grid),
+             "store_shape": list(logits.shape), "seconds": timings},
+        )
+        logger_message(f"sweep timings: {timings}")
 
     t0 = time.perf_counter()
     result = mixture_pareto_sweep(

@@ -128,17 +128,20 @@ def main(argv: Optional[list] = None) -> Dict[str, float]:
                 iterate_batches(val_ds, cfg.eval_batch_size or 8)
             )
             mean_loss = float(np.mean(losses)) if losses else float("nan")
+            num_exits = model_cfg.exit.num_exits if hasattr(
+                model_cfg, "exit"
+            ) else 0  # dense baselines (layoutlmv2) have no exit heads
             per_exit = " ".join(
                 f"e{j}:acc={metrics[f'exit_{j}_accuracy']:.3f}"
                 f"/share={metrics[f'exit_{j}_share']:.3f}"
-                for j in range(model_cfg.exit.num_exits)
+                for j in range(num_exits)
             )
             logger_message(
                 f"epoch {epoch}: loss={mean_loss:.4f} "
                 f"val_accuracy={metrics['accuracy']:.4f} {per_exit}"
             )
             dead = [
-                j for j in range(model_cfg.exit.num_exits)
+                j for j in range(num_exits)
                 if metrics.get(f"exit_{j}_share", 0.0) < 0.01
             ]
             if dead:

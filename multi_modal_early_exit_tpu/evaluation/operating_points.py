@@ -85,25 +85,60 @@ def prune_dead_exits(
     return dataclasses.replace(exit_cfg, exits=keep), dead
 
 
+def _sweep(store: np.ndarray, labels: np.ndarray, grid: Sequence[float]) -> list:
+    """Per grid threshold: dict with threshold, accuracy, average_exit,
+    distribution, and the per-sample correctness vector (needed for the
+    paired confidence-bound selection rule)."""
+    labels = np.asarray(labels)
+    out = []
+    for t in grid:
+        exits, preds = _scan(store, np.full(1, float(t)))
+        correct = preds.argmax(-1) == labels
+        out.append(
+            {
+                "threshold": float(t),
+                "accuracy": float(np.mean(correct)),
+                "average_exit": float(np.mean(exits)),
+                "distribution": exit_distribution_of(exits, store.shape[0]),
+                "correct": correct,
+            }
+        )
+    return out
+
+
 def sweep_thresholds(
     store: np.ndarray, labels: np.ndarray, grid: Sequence[float]
 ) -> list:
     """(threshold, accuracy, average_exit, distribution) per grid point,
     using the exact offline policy scan (first exit with MSP > t)."""
-    labels = np.asarray(labels)
-    out = []
-    for t in grid:
-        exits, preds = _scan(store, np.full(1, float(t)))
-        acc = float(np.mean(preds.argmax(-1) == labels))
-        out.append(
-            (
-                float(t),
-                acc,
-                float(np.mean(exits)),
-                exit_distribution_of(exits, store.shape[0]),
-            )
-        )
-    return out
+    return [
+        (s["threshold"], s["accuracy"], s["average_exit"], s["distribution"])
+        for s in _sweep(store, labels, grid)
+    ]
+
+
+def paired_drop_ucb(
+    cand_correct: np.ndarray, full_correct: np.ndarray, z: float
+) -> float:
+    """Upper confidence bound on the accuracy DROP of a candidate policy vs
+    full depth, from the PAIRED per-sample differences.
+
+    VERDICT r4 #6: selecting thresholds by the point estimate of validation
+    accuracy transfers a val-noise-sized regret to test (iso gave up 0.4pt
+    within a 0.0 budget). The remedy is a confidence bound; the paired form
+    (Wilson-style, on the drop rather than on each accuracy separately) is
+    the statistically tight one — both policies share most of their
+    decisions, so unpaired bounds would be far too conservative. Returns
+    ``mean(d) + z * std(d) / sqrt(n)`` with ``d_i = full_i - cand_i`` in
+    {-1, 0, 1}; z = 0 recovers the point estimate."""
+    d = np.asarray(full_correct, np.float64) - np.asarray(
+        cand_correct, np.float64
+    )
+    n = d.size
+    m = float(d.mean())
+    if z <= 0.0 or n < 2:
+        return m
+    return m + float(z) * float(d.std(ddof=1)) / float(np.sqrt(n))
 
 
 def select_operating_points(
@@ -120,14 +155,20 @@ def select_operating_points(
     margin: float = 1.25,
     multiple: int = 8,
     tail: Optional[float] = 0.995,
+    confidence_z: float = 1.28,
 ) -> list:
     """Pick one OperatingPoint per accuracy budget.
 
     ``store`` is the (E+1, N, K) validation logit store — calibrated if the
     serving path applies temperatures.  For each ``(name, eps)`` the point
-    with the smallest validation average exit subject to
-    ``accuracy >= full_depth_accuracy - eps`` is chosen (the full-depth row
-    itself always qualifies, so a point always exists).
+    with the smallest validation average exit subject to the budget is
+    chosen.  The budget check uses the paired upper confidence bound of the
+    accuracy drop vs full depth (``paired_drop_ucb``, z=``confidence_z``;
+    default 1.28 = one-sided 90%) rather than the point estimate, so the
+    chosen threshold transfers to test without val-noise-sized regret
+    (VERDICT r4 #6). The full-depth policy has zero paired drop, so a point
+    always exists in the limit; if no grid point qualifies the full-depth
+    fallback (threshold > 1) is used.
     """
     store = np.asarray(store)
     labels = np.asarray(labels)
@@ -138,14 +179,18 @@ def select_operating_points(
             set(np.round(np.arange(0.05, 1.0, 0.05), 4))
             | set(np.round(np.arange(0.90, 1.0, 0.01), 4))
         )
-    full_acc = float(np.mean(store[-1].argmax(-1) == labels))
-    swept = sweep_thresholds(store, labels, threshold_grid)
+    full_correct = store[-1].argmax(-1) == labels
+    full_acc = float(np.mean(full_correct))
+    swept = _sweep(store, labels, threshold_grid)
 
     def pick(candidates, eps):
-        ok = [s for s in candidates if s[1] >= full_acc - eps]
+        ok = [
+            s for s in candidates
+            if paired_drop_ucb(s["correct"], full_correct, confidence_z) <= eps
+        ]
         if not ok:
             return None
-        return min(ok, key=lambda s: (s[2], s[0]))
+        return min(ok, key=lambda s: (s["average_exit"], s["threshold"]))
 
     points = []
     for name, eps in accuracy_drops:
@@ -156,17 +201,23 @@ def select_operating_points(
             # (0.65, 0.70)), so a 0.01-granular local sweep can find a
             # strictly shallower point inside the same budget
             fine_grid = sorted(
-                {round(best[0] + d, 4) for d in np.arange(-0.04, 0.05, 0.01)}
-                - set(s[0] for s in swept)
+                {
+                    round(best["threshold"] + d, 4)
+                    for d in np.arange(-0.04, 0.05, 0.01)
+                }
+                - set(s["threshold"] for s in swept)
             )
             fine_grid = [t for t in fine_grid if 0.0 < t < 1.0]
             if fine_grid:
                 refined = pick(
-                    swept + sweep_thresholds(store, labels, fine_grid), eps
+                    swept + _sweep(store, labels, fine_grid), eps
                 )
                 if refined is not None:
                     best = refined
-            t, acc, avg_exit, dist = best
+            t, acc, avg_exit, dist = (
+                best["threshold"], best["accuracy"], best["average_exit"],
+                best["distribution"],
+            )
         else:  # nothing qualifies: serve full depth (threshold > 1 never exits)
             t, acc, avg_exit = 1.01, full_acc, float(store.shape[0] - 1)
             dist = {store.shape[0] - 1: 1.0}

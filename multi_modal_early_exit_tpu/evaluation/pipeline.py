@@ -129,11 +129,24 @@ def get_logits(
     # lane-aligned sequence pad (709 -> 768): the flash kernel stops
     # re-padding q/k/v per layer; padded keys are masked, outputs unchanged
     pad_multiple = 128 if use_flash_attention() else None
-    fwd = jax.jit(
-        lambda p, ids, bbox, pv, m: ee_forward(
-            p, cfg, ids, bbox, pv, m, seq_pad_multiple=pad_multiple
-        ).policy_logits()
-    )
+    if hasattr(cfg, "exit"):
+        fwd = jax.jit(
+            lambda p, ids, bbox, pv, m: ee_forward(
+                p, cfg, ids, bbox, pv, m, seq_pad_multiple=pad_multiple
+            ).policy_logits()
+        )
+    else:
+        # dense baseline (LayoutLMv2Config): single-row store so the policy/
+        # metric stack downstream works unchanged (final row only)
+        from multi_modal_early_exit_tpu.models.layoutlmv2.modeling import (
+            forward_sequence_classification,
+        )
+
+        fwd = jax.jit(
+            lambda p, ids, bbox, pv, m: forward_sequence_classification(
+                p, cfg, ids, bbox, pv, m, seq_pad_multiple=pad_multiple
+            ).logits[None]
+        )
 
     tokenizer = None
     if benchmark_ocr:

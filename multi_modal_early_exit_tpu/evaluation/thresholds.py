@@ -95,6 +95,80 @@ def vectorized_global_sweep(logits: np.ndarray, thresholds, csf: str = "msp"):
     return preds, exits
 
 
+def incremental_global_sweep(logits: np.ndarray, thresholds, csf: str = "msp"):
+    """opt1 (thresh.py:134-177): incremental sweep over descending thresholds.
+
+    The reference's incremental insight: as the threshold decreases, the set
+    of (exit, sample) pairs that pass only GROWS, so each pair's work can be
+    done once — at the first (highest) threshold it passes — instead of per
+    threshold. Here each pair's first-passing threshold index comes from one
+    ``searchsorted`` over the descending threshold vector, and a single pass
+    over thresholds maintains the running first-passing exit per sample.
+
+    NOTE on parity: the reference's opt1 as written has two defects that
+    make it INEQUIVALENT to its naieve/opt0 — (a) ``tmp_not`` is computed
+    once per threshold but exits update ``tmp_above`` inside the exit loop,
+    so a sample passing several exits records the LAST one (thresh.py:
+    160-171), and (b) samples above a previous higher threshold are skipped
+    entirely, freezing their assignment even though a lower threshold can
+    move them to a SHALLOWER exit. The reference's own equality check never
+    runs (dead code behind ``sys.exit(1)``, thresh.py:309-318). This
+    implementation realizes the *intended* incremental algorithm, which is
+    exactly equivalent (asserted against naive/opt0/native in
+    tests/test_native_sweep.py).
+    """
+    num_exits, num_samples, _ = logits.shape
+    thresholds = np.asarray(sorted(thresholds, reverse=True), dtype=np.float64)
+    num_thresholds = len(thresholds)
+    scores = csf_matrix(logits, csf)  # (E, N)
+
+    # first_t[e, n]: index of the highest threshold that (e, n) passes
+    # (thresholds descend, so passing is monotone in t); num_thresholds if
+    # it never passes. searchsorted on the ascending-negated vector.
+    first_t = np.searchsorted(-thresholds, -scores.ravel(), side="left")
+    first_t = first_t.reshape(num_exits, num_samples)
+
+    exits = np.full((num_thresholds, num_samples), num_exits, dtype=np.int32)
+    cur = np.full(num_samples, num_exits, dtype=np.int32)
+    # bucket the pairs by first-passing threshold so each is touched once
+    order = np.argsort(first_t, axis=None, kind="stable")
+    flat_e, flat_n = np.unravel_index(order, first_t.shape)
+    flat_t = first_t[flat_e, flat_n]
+    starts = np.searchsorted(flat_t, np.arange(num_thresholds + 1))
+    for t in range(num_thresholds):
+        lo, hi = starts[t], starts[t + 1]
+        if hi > lo:
+            np.minimum.at(cur, flat_n[lo:hi], flat_e[lo:hi])
+        exits[t] = cur
+    clamped = np.minimum(exits, num_exits - 1)
+    preds = logits[clamped, np.arange(num_samples)[None]]
+    preds = np.where((exits < num_exits)[..., None], preds, logits[-1][None])
+    return preds, exits
+
+
+def time_global_sweeps(
+    logits: np.ndarray, thresholds, csf: str = "msp", include_naive: bool = True
+) -> dict:
+    """Wall-clock the sweep implementations on one store (the reference's
+    __main__ timing harness, thresh.py:313-315: runtime_wrapper around
+    naieve/opt0/opt1). Returns {impl: seconds}; cli/research.py records the
+    artifact."""
+    import time
+
+    out = {}
+    impls = [
+        ("opt0", vectorized_global_sweep),
+        ("opt1", incremental_global_sweep),
+    ]
+    if include_naive:
+        impls.insert(0, ("naive", naive_global_sweep))
+    for name, fn in impls:
+        t0 = time.perf_counter()
+        fn(logits, thresholds, csf)
+        out[name] = time.perf_counter() - t0
+    return out
+
+
 # --------------------------------------------------------------------------
 # 2D (per-exit) threshold mixtures
 # --------------------------------------------------------------------------

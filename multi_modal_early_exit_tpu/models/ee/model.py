@@ -93,6 +93,43 @@ def init_ee_params(key, cfg: EEModelConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def prune_ee_params(params: Params, old_cfg, new_cfg) -> Params:
+    """Slice an EE param tree down to a pruned exit config.
+
+    ``encoder_exits`` heads are stacked by POSITION in the encoder_exits
+    tuple and ``embedding_exits`` are keyed by name, so dropping exits from
+    the config requires dropping the matching param rows/keys — the configs
+    alone are not enough (evaluation.operating_points.prune_dead_exits
+    produces ``new_cfg``). Backbone/classifier/lte params pass through
+    unchanged."""
+    old_exit = old_cfg.exit if hasattr(old_cfg, "exit") else old_cfg
+    new_exit = new_cfg.exit if hasattr(new_cfg, "exit") else new_cfg
+    out = dict(params)
+    if "embedding_exits" in params:
+        kept = {
+            name: head
+            for name, head in params["embedding_exits"].items()
+            if name in new_exit.embedding_exits
+        }
+        if kept:
+            out["embedding_exits"] = kept
+        else:
+            out.pop("embedding_exits", None)
+    if "encoder_exits" in params and old_exit.encoder_exits:
+        keep_rows = [
+            i for i, layer in enumerate(old_exit.encoder_exits)
+            if layer in new_exit.encoder_exits
+        ]
+        if keep_rows:
+            idx = jnp.asarray(keep_rows)
+            out["encoder_exits"] = jax.tree.map(
+                lambda x: x[idx], params["encoder_exits"]
+            )
+        else:
+            out.pop("encoder_exits", None)
+    return out
+
+
 @dataclasses.dataclass
 class EEOutputs:
     """All per-exit tensors from one batched forward.

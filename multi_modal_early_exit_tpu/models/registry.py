@@ -103,6 +103,34 @@ def _maybe_load_pretrained(bb: LayoutLMv3Config, weights: str) -> Optional[Param
         return None
 
 
+def _maybe_load_pretrained_v2(v2, weights: str) -> Optional[Params]:
+    """v2 twin of _maybe_load_pretrained: convert a locally-cached torch
+    LayoutLMv2 checkpoint (transformer side only — the detectron2 visual
+    tower keeps its JAX init, see layoutlmv2/convert.py docstring)."""
+    try:
+        from transformers import LayoutLMv2Model
+
+        from multi_modal_early_exit_tpu.models.layoutlmv2.convert import (
+            convert_v2_torch_state_dict,
+        )
+    except Exception:
+        return None
+    try:
+        hf = LayoutLMv2Model.from_pretrained(weights, local_files_only=True)
+    except Exception:
+        return None
+    try:
+        return convert_v2_torch_state_dict(hf.state_dict(), v2, prefix="")
+    except Exception as e:
+        from multi_modal_early_exit_tpu.utils.logging import logger_message
+
+        logger_message(
+            f"FAILED converting v2 weights '{weights}' ({e!r}); random init",
+            type="error",
+        )
+        return None
+
+
 def infer_backbone_config(
     params: Params, base: Optional[LayoutLMv3Config] = None
 ) -> LayoutLMv3Config:
@@ -230,9 +258,46 @@ def build_model(
             v2 = v2.replace(input_size=image_size)
         if seq_len and seq_len > v2.max_position_embeddings - 2:
             v2 = v2.replace(max_position_embeddings=seq_len + 2)
-        if size == "tiny":
-            v2 = v2.replace(vocab_size=LayoutLMv2Config.base().vocab_size)
-        return v2, init_v2_params(rng, v2)
+        # widen the vocab to the hermetic data layer's tokenizer range: the
+        # HashWordTokenizer emits ids in [0, 50265) regardless of model, so a
+        # 30522-row v2 table would silently clamp ~40% of ids onto its last
+        # row. Pretrained rows (if any) occupy the first 30522 slots; the
+        # widened tail keeps its random init.
+        tok_vocab = LayoutLMv3Config.base().vocab_size  # 50265
+        v2 = v2.replace(vocab_size=max(v2.vocab_size, tok_vocab))
+        params = init_v2_params(rng, v2)
+        weights = getattr(cfg, "model_weights", "") or ""
+        if "layoutlmv3" in weights:
+            # the experiment default names the v3 checkpoint; v2 loads its own
+            # (parity: EE/configs.py:451-462 from_pretrained layoutlmv2-base)
+            weights = "microsoft/layoutlmv2-base-uncased"
+        if weights and size == "base":
+            pre = _maybe_load_pretrained_v2(v2, weights)
+            if pre is not None:
+                pre.pop("classifier", None)  # label count differs per dataset
+                if "embeddings" in pre:
+                    w = pre["embeddings"]["word_embeddings"]
+                    if w.shape[0] < v2.vocab_size:
+                        import numpy as np
+
+                        full = np.asarray(
+                            params["embeddings"]["word_embeddings"]
+                        ).copy()
+                        full[: w.shape[0]] = w
+                        pre["embeddings"]["word_embeddings"] = full
+                params.update(jax.tree.map(jnp.asarray, pre))
+            else:
+                from multi_modal_early_exit_tpu.utils.logging import (
+                    logger_message,
+                )
+
+                logger_message(
+                    "layoutlmv2 baseline trains from RANDOM init (pretrained "
+                    f"'{weights}' unavailable) — numbers are not comparable "
+                    "to the reference's from_pretrained baseline",
+                    type="warning",
+                )
+        return v2, params
 
     if name in ("layoutlmv3", "dit", "dit_rvl", "bert"):
         # dense models: no exits; single-modality variants only allocate the

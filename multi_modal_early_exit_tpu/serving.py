@@ -49,6 +49,7 @@ class Pipeline:
         exit_distribution: Optional[Dict[int, float]] = None,
         tokenizer=None,
         seq_len: Optional[int] = None,
+        capacity_tail: float = 0.995,
     ):
         import jax
 
@@ -67,14 +68,21 @@ class Pipeline:
         n_emb = sum(1 for e in self.order if isinstance(e, str))
         n_stages = len([e for e in self.order if isinstance(e, int)]) + 1
         if exit_distribution:
-            # binomial-tail sizing (99.5% no-overflow per batch); see
-            # capacities_from_distribution for the rule and its tradeoff
+            # binomial-tail sizing (no-overflow probability = capacity_tail
+            # per batch, assuming i.i.d. exit decisions); real traffic is
+            # correlated (bursts of hard documents), so watch
+            # ``metrics()['capacity_exit_rate']`` for drift from the design
+            # point and raise capacity_tail if it exceeds 1 - tail
             caps = capacities_from_distribution(
-                exit_distribution, batch_size, n_emb, n_stages, tail=0.995
+                exit_distribution, batch_size, n_emb, n_stages,
+                tail=capacity_tail,
             )
         else:
             caps = tuple([batch_size] * n_stages)  # conservative: exact policy
         self.capacities = caps
+        self.capacity_tail = capacity_tail
+        self._n_served = 0
+        self._n_capacity_exited = 0
         self._cascade = jax.jit(
             make_cascade_forward(cfg, capacities=caps, threshold=threshold)
         )
@@ -156,6 +164,8 @@ class Pipeline:
             logits = np.asarray(res.logits)[:real]
             exits = np.asarray(res.exit_ids)[:real]
             forced = np.asarray(res.capacity_exited)[:real]
+            self._n_served += real
+            self._n_capacity_exited += int(forced.sum())
             probs = scipy.special.softmax(logits, axis=-1)
             for i in range(real):
                 pred = int(probs[i].argmax())
@@ -170,3 +180,18 @@ class Pipeline:
                     "capacity_exited": bool(forced[i]),
                 })
         return results
+
+    def metrics(self) -> Dict[str, float]:
+        """Serving-health counters. ``capacity_exit_rate`` is the fraction of
+        documents forced onto shallower best-so-far logits because a stage's
+        capacity overflowed; the sizing rule designs for <= 1 - capacity_tail
+        under i.i.d. traffic, so a sustained higher rate means correlated
+        (bursty) difficulty — resize with a larger capacity_tail."""
+        return {
+            "documents_served": float(self._n_served),
+            "capacity_exit_rate": (
+                self._n_capacity_exited / self._n_served
+                if self._n_served else 0.0
+            ),
+            "capacity_tail": self.capacity_tail,
+        }

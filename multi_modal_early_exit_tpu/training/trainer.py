@@ -196,14 +196,26 @@ class EETrainer:
         self.args = args
         self.mesh = mesh
 
-        strategy = cfg.exit.training_strategy
+        # dense configs (e.g. LayoutLMv2Config) carry no .exit: train with a
+        # plain CE objective through the same machinery (the reference trains
+        # dense AutoModels through its generic trainer, EE/IC_only.py:176-178)
+        self.is_ee = hasattr(cfg, "exit")
+        loss_fn = None
+        if not self.is_ee:
+            from multi_modal_early_exit_tpu.models.layoutlmv2.modeling import (
+                sequence_classification_loss,
+            )
+
+            loss_fn = sequence_classification_loss
+
+        strategy = cfg.exit.training_strategy if self.is_ee else None
         weights = None
-        if strategy.is_weighted:
+        if strategy is not None and strategy.is_weighted:
             counts = subgraph_param_counts(params, cfg)
             weights = exit_loss_weights(counts)
         self.exit_weights = weights
 
-        freeze = strategy.is_two_stage
+        freeze = strategy.is_two_stage if strategy is not None else False
         self.tx = make_optimizer(args, total_steps, freeze_backbone=freeze)
         self.opt_state = self.tx.init(params)
         self.params = params
@@ -212,6 +224,7 @@ class EETrainer:
             make_train_step(
                 cfg, self.tx, weights, args.gradient_accumulation_steps,
                 compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                loss_fn=loss_fn,
             ),
             donate_argnums=(0, 1),
         )
@@ -228,14 +241,28 @@ class EETrainer:
     def _eval_fwd(self):
         """Jitted policy-logits forward, built once (stable jit cache key)."""
         if not hasattr(self, "_eval_fwd_fn"):
-            from multi_modal_early_exit_tpu.models.ee.model import ee_forward
-
             cfg = self.cfg
-            self._eval_fwd_fn = jax.jit(
-                lambda p, ids, bbox, pv, m: ee_forward(
-                    p, cfg, ids, bbox, pv, m
-                ).policy_logits()
-            )
+            if self.is_ee:
+                from multi_modal_early_exit_tpu.models.ee.model import (
+                    ee_forward,
+                )
+
+                self._eval_fwd_fn = jax.jit(
+                    lambda p, ids, bbox, pv, m: ee_forward(
+                        p, cfg, ids, bbox, pv, m
+                    ).policy_logits()
+                )
+            else:
+                # dense: a single-row (1, B, K) store keeps evaluate() generic
+                from multi_modal_early_exit_tpu.models.layoutlmv2.modeling import (
+                    forward_sequence_classification,
+                )
+
+                self._eval_fwd_fn = jax.jit(
+                    lambda p, ids, bbox, pv, m: forward_sequence_classification(
+                        p, cfg, ids, bbox, pv, m
+                    ).logits[None]
+                )
         return self._eval_fwd_fn
 
     def evaluate(self, batches: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
@@ -244,7 +271,7 @@ class EETrainer:
         confidence policy (first exit whose max-softmax clears the global
         threshold) — the train-time dead-exit signal (VERDICT r3 #10)."""
         fwd = self._eval_fwd()
-        thr = float(self.cfg.exit.global_threshold)
+        thr = float(self.cfg.exit.global_threshold) if self.is_ee else 1.0
         correct = 0
         total = 0
         exit_correct = None

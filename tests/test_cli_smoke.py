@@ -54,3 +54,25 @@ def test_cli_train_and_evaluate_smoke(trained):
     cfgs = glob.glob("results/*/config.json")
     assert cfgs
     json.load(open(cfgs[0]))
+
+
+def test_cli_train_and_evaluate_layoutlmv2(workdir):
+    # dense-v2 CLI wiring (ADVICE r4 medium): the (LayoutLMv2Config, params)
+    # bundle must train through EETrainer's dense path and dump through
+    # cli.evaluate's single-row store branch
+    from multi_modal_early_exit_tpu.cli import evaluate, train
+
+    metrics = train.main([
+        "with", "debugEE", "model=layoutlmv2", "epochs=1", "batch_size=8",
+        "lr=3e-4", "output_dir=save_v2", "eval_batch_size=8",
+    ])
+    assert "accuracy" in metrics
+    assert "exit_0_share" in metrics  # single-row store: final share only
+    ckpts = sorted(glob.glob("save_v2/*/checkpoint-*"))
+    assert ckpts
+
+    out = evaluate.main([
+        "-c", ckpts[-1], "-d", "synthetic_rvl_cdip_tiny",
+        "--exit_threshold", "-1",
+    ])
+    assert out["mode"] == "dump"

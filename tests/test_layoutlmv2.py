@@ -83,6 +83,10 @@ def test_registry_builds_genuine_v2():
     assert "visual_backbone" in params
     assert "stem_conv" in params["visual_backbone"]
     assert params["classifier"]["kernel"].shape == (3 * cfg.hidden_size, 4)
+    # vocab widened to the hermetic HashWordTokenizer range (ADVICE r4:
+    # ids in [30522, 50265) must not clamp onto the last embedding row)
+    assert cfg.vocab_size >= 50265
+    assert params["embeddings"]["word_embeddings"].shape[0] == cfg.vocab_size
 
 
 torch = pytest.importorskip("torch")

@@ -132,3 +132,71 @@ def test_select_operating_points_falls_back_to_full_depth():
     assert iso.threshold > 1.0  # nobody can exit early
     assert iso.val_accuracy == iso.val_full_accuracy
     assert iso.capacities == (32,)
+
+
+def test_paired_drop_ucb():
+    from multi_modal_early_exit_tpu.evaluation.operating_points import (
+        paired_drop_ucb,
+    )
+
+    full = np.ones(100, bool)
+    # identical decisions: zero drop, zero variance -> UCB exactly 0
+    assert paired_drop_ucb(full.copy(), full, z=1.28) == 0.0
+    # 5% worse: UCB strictly above the 0.05 point estimate when z > 0
+    cand = full.copy()
+    cand[:5] = False
+    assert paired_drop_ucb(cand, full, z=0.0) == pytest.approx(0.05)
+    assert paired_drop_ucb(cand, full, z=1.28) > 0.05
+
+
+def test_select_operating_points_confidence_bound_is_conservative():
+    """With the paired-UCB rule (z>0) the chosen point can only be deeper
+    (or equal), never shallower, than the point-estimate choice."""
+    store, labels = _toy_store()
+    kw = dict(n_emb=1, n_stages=2, batch=64,
+              accuracy_drops=(("iso", 0.01),))
+    (pt_z,) = select_operating_points(store, labels, confidence_z=1.28, **kw)
+    (pt_0,) = select_operating_points(store, labels, confidence_z=0.0, **kw)
+    assert pt_z.val_average_exit >= pt_0.val_average_exit - 1e-9
+    assert pt_z.val_accuracy >= pt_z.val_full_accuracy - 0.01
+
+
+def test_prune_dead_exits_params_and_forward():
+    """Pruning a dead exit must drop its head params and leave every other
+    exit's logits bit-identical (heads are independent of each other)."""
+    from multi_modal_early_exit_tpu.evaluation.operating_points import (
+        prune_dead_exits,
+    )
+    from multi_modal_early_exit_tpu.models.ee.model import prune_ee_params
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1, 2)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    # canonical order: (vision_avg, text_avg, 1, 2); kill vision_avg + exit 1
+    dist = {0: 0.0, 1: 0.4, 2: 0.001, 3: 0.3, 4: 0.299}
+    pruned_exit, dead = prune_dead_exits(cfg.exit, dist)
+    assert dead == [0, 2]
+    assert pruned_exit.exits == ("text_avg", 2)
+    pruned_cfg = EEModelConfig(backbone=cfg.backbone, exit=pruned_exit)
+    pruned_params = prune_ee_params(params, cfg, pruned_cfg)
+    assert set(pruned_params["embedding_exits"]) == {"text_avg"}
+    assert jax.tree.leaves(pruned_params["encoder_exits"])[0].shape[0] == 1
+
+    rng = np.random.default_rng(3)
+    B, S = 4, 16
+    batch = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.ones((B, S), jnp.int32),
+    )
+    full = np.asarray(ee_forward(params, cfg, *batch).policy_logits())
+    pr = np.asarray(
+        ee_forward(pruned_params, pruned_cfg, *batch).policy_logits()
+    )
+    # full order: [vision_avg, text_avg, 1, 2, final]; pruned: [text_avg, 2, final]
+    np.testing.assert_allclose(pr[0], full[1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pr[1], full[3], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(pr[2], full[4], rtol=1e-6, atol=1e-6)

@@ -46,6 +46,11 @@ def test_predict_from_words_and_images(pipe):
         assert r["exit_name"] in ("text_avg", "1", "final")
     # identical inputs -> identical outputs
     assert len({r["label"] for r in results}) == 1
+    # serving-health counters (ADVICE r4: observable capacity-exit drift)
+    m = pipe.metrics()
+    assert m["documents_served"] >= n
+    assert 0.0 <= m["capacity_exit_rate"] <= 1.0
+    assert m["capacity_tail"] == 0.995
 
 
 @pytest.mark.slow
