@@ -72,7 +72,7 @@ def _measured_cpu_anchor():
 
 
 def _flagship_cfg(training_strategy=None, gradient_checkpointing=False,
-                  gamma=None):
+                  gamma=None, scan_fold=None):
     from multi_modal_early_exit_tpu.config.exit_config import ExitConfig
     from multi_modal_early_exit_tpu.models.layoutlmv3.config import (
         EEModelConfig,
@@ -85,10 +85,14 @@ def _flagship_cfg(training_strategy=None, gradient_checkpointing=False,
     if gamma is not None:
         exit_kwargs["gamma"] = gamma
     bb = LayoutLMv3Config.base(num_labels=16)
-    if gradient_checkpointing:
+    if gradient_checkpointing or scan_fold:
         import dataclasses
 
-        bb = dataclasses.replace(bb, gradient_checkpointing=True)
+        bb = dataclasses.replace(
+            bb,
+            gradient_checkpointing=gradient_checkpointing,
+            scan_fold=scan_fold or 1,
+        )
     return EEModelConfig(backbone=bb, exit=ExitConfig(**exit_kwargs))
 
 
@@ -222,9 +226,14 @@ def bench_train(batch: int) -> dict:
     )
 
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # full-unroll encoder for the train step: the bias cotangent never
+    # round-trips the HBM accumulator (146.9 -> 162.2 docs/sec measured,
+    # docs/PROFILE_TRAIN.md; scan_fold 4/6 OOM, 2/3 are intermediate)
+    fold = int(os.environ.get("MMEE_LAYERS_PER_STEP", "0")) or 12
     cfg = _flagship_cfg(
         training_strategy="one_stage_subgraphs_weighted",
         gradient_checkpointing=remat,
+        scan_fold=fold,
     )
     bb = cfg.backbone
     params32 = init_ee_params(jax.random.key(0), cfg)
@@ -412,9 +421,17 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         num_epochs=epochs, seed=0, warmup_ratio=warmup,
     )
     params = init_ee_params(jax.random.key(0), cfg)
-    trainer = EETrainer(cfg, params, args, total_steps=epochs * steps)
+    # train with the full-unroll encoder (scan_fold; see bench_train) —
+    # eval/harvest/cascade keep the scanned form (fold only pays off in the
+    # backward's bias-cotangent accumulation)
+    import dataclasses as _dc
+
+    train_cfg = cfg if tiny else _dc.replace(
+        cfg, backbone=_dc.replace(cfg.backbone, scan_fold=12)
+    )
+    trainer = EETrainer(train_cfg, params, args, total_steps=epochs * steps)
     step_raw = make_train_step(
-        cfg, trainer.tx, trainer.exit_weights, accum_steps=1,
+        train_cfg, trainer.tx, trainer.exit_weights, accum_steps=1,
         compute_dtype=jnp.bfloat16,
     )
 
@@ -824,9 +841,10 @@ def _strip_detail(result: dict, detail: dict, name: str) -> dict:
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "all")
     K = int(os.environ.get("BENCH_K", 16))
-    # measured sweet spots on v5e (r4): cascade batch 64, harvest 48
-    # (531 @ 32 -> 579 @ 48; 64 compiles now but rolls off to 565), train
-    # 32 (141.7 @ 16 -> 147.3 @ 32; 48 trips the AOT HBM budget)
+    # measured sweet spots on v5e: cascade batch 64, harvest 48 (r4:
+    # 531 @ 32 -> 579 @ 48; 64 compiles but rolls off to 565), train 40
+    # with the full-unroll encoder (r5: 155.2 @ 16, 162.2 @ 32,
+    # 171.0 @ 40; 48 OOMs)
     batch_env = os.environ.get("BENCH_BATCH")
 
     def batch_for(m, default):
@@ -835,7 +853,7 @@ def main() -> None:
     runners = {
         "cascade": lambda: bench_cascade(batch_for("cascade", 64), K),
         "harvest": lambda: bench_harvest(batch_for("harvest", 48), K),
-        "train": lambda: bench_train(batch_for("train", 32)),
+        "train": lambda: bench_train(batch_for("train", 40)),
         "anytime": lambda: bench_anytime(batch_for("anytime", 64), K),
     }
     here = os.path.dirname(os.path.abspath(__file__))

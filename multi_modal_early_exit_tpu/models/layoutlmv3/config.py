@@ -56,6 +56,15 @@ class LayoutLMv3Config:
     # equivalent of the reference's gradient-checkpointing path,
     # EE/models/LayoutLMv3.py:187-207): trades FLOPs for activation memory
     gradient_checkpointing: bool = False
+    # layers folded into each encoder lax.scan step (must divide
+    # num_hidden_layers; MMEE_LAYERS_PER_STEP env overrides). Folding sums
+    # n in-step attention-bias cotangents before the HBM accumulator
+    # round-trip in the train backward — n=num_hidden_layers (full unroll)
+    # removes the select_add entirely and measured 146.9 -> 162.2 docs/sec
+    # at the reference train budget (docs/PROFILE_TRAIN.md); n>=4 with a
+    # scan OOMs (the folded body's transients coexist with the scan
+    # stacks). Pure scheduling: layer order, rngs, and taps are unchanged.
+    scan_fold: int = 1
 
     @property
     def head_dim(self) -> int:

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -74,15 +75,26 @@ def _layer_norm_core(x, scale, bias, eps: float):
     only the (narrow) input and the (B,S,1) moments and recomputes the
     normalized tensor on the fly in the backward."""
     xf = x.astype(jnp.float32)
-    # TWO-pass moments in the primal (eval programs): inference fuses the
-    # preceding matmul + residual + LN into one kernel, and the sequential
-    # mean -> E[(x-mean)^2] form measures FASTER there (cascade 1233 vs
-    # 1203 docs/sec with the one-pass form). The TRAINING forward
-    # (_layer_norm_fwd below) uses the one-pass E[x^2]-mean^2 form, which
-    # measures faster un-fused (+1% train step). The two differ only by
-    # f32 rounding, far below the bf16 output quantum.
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    if os.environ.get("MMEE_LN_MATMUL_MOMENTS") == "1":
+        # experimental (eval-path): moments as ones-vector contractions so
+        # the reduce rides the MXU instead of the VPU-serial lane reduce —
+        # probing the MLP-down+LN fused-reduce stall (PROFILE_HARVEST.md)
+        h = xf.shape[-1]
+        ones = jnp.ones((h,), jnp.float32)
+        mean = (xf @ ones)[..., None] * (1.0 / h)
+        var = (jnp.square(xf) @ ones)[..., None] * (1.0 / h) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+    else:
+        # TWO-pass moments in the primal (eval programs): inference fuses
+        # the preceding matmul + residual + LN into one kernel, and the
+        # sequential mean -> E[(x-mean)^2] form measures FASTER there
+        # (cascade 1233 vs 1203 docs/sec with the one-pass form). The
+        # TRAINING forward (_layer_norm_fwd below) uses the one-pass
+        # E[x^2]-mean^2 form, which measures faster un-fused (+1% train
+        # step). The forms differ only by f32 rounding, far below the bf16
+        # output quantum.
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return (y * scale + bias).astype(x.dtype)
 
@@ -680,8 +692,21 @@ def encoder_apply(
     ``cls_per_layer`` is (L, B, H): the [CLS] state *after* each layer —
     exactly the exit-head input the reference taps per layer
     (EE/models/LayoutLMv3.py:226 ``hidden_states[:, 0, :]``).
+
+    ``MMEE_LAYERS_PER_STEP`` (default 1) folds that many layers into each
+    scan step. The loop-invariant attention-bias cotangent is accumulated
+    once per scan STEP in the backward (an HBM-bound select_add over the
+    (B,H,S,S) accumulator — 11.9 ms/step at 12 steps in the r4 profile);
+    folding n layers per step sums the n in-step bias cotangents before the
+    accumulator round-trip, cutting that traffic by n. Numerics are
+    unchanged (same layer order, same rngs).
     """
     num_layers = cfg.num_hidden_layers
+    fold = int(
+        os.environ.get("MMEE_LAYERS_PER_STEP", "0")
+    ) or getattr(cfg, "scan_fold", 1)
+    if fold < 1 or num_layers % fold:
+        fold = 1
     if rng is not None:
         layer_rngs = jax.random.split(rng, num_layers * 3).reshape(num_layers, 3)
     else:
@@ -699,32 +724,51 @@ def encoder_apply(
             h = carry
             layer_bias = attn_bias
         if layer_rngs is not None:
-            layer_p, rs = xs
-            rs = tuple(rs)
+            fold_p, fold_rs = xs
         else:
-            layer_p, rs = xs, None
-        h = encoder_layer_apply(layer_p, cfg, h, layer_bias, deterministic, rs)
-        if chained:
-            h, bias_ctx = h
-            carry = (h, bias_ctx.bias)
-        else:
-            carry = h
+            fold_p, fold_rs = xs, None
+        cls_taps = []
+        hidden_taps = []
+        for i in range(fold):
+            layer_p = jax.tree.map(lambda x: x[i], fold_p)
+            rs = tuple(fold_rs[i]) if fold_rs is not None else None
+            h = encoder_layer_apply(
+                layer_p, cfg, h, layer_bias, deterministic, rs
+            )
+            if chained:
+                h, bias_ctx = h
+                layer_bias = bias_ctx
+            if collect_cls:
+                cls_taps.append(h[:, 0, :])
+            if collect_hidden:
+                hidden_taps.append(h)
+        carry = (h, layer_bias.bias) if chained else h
         ys = {}
         if collect_cls:
-            ys["cls"] = h[:, 0, :]
+            ys["cls"] = jnp.stack(cls_taps)
         if collect_hidden:
-            ys["hidden"] = h
+            ys["hidden"] = jnp.stack(hidden_taps)
         return carry, ys
 
     if cfg.gradient_checkpointing:
         body = jax.checkpoint(body)
 
-    xs = (p["layers"], layer_rngs) if layer_rngs is not None else p["layers"]
+    stacked = jax.tree.map(
+        lambda x: x.reshape((num_layers // fold, fold) + x.shape[1:]),
+        p["layers"],
+    )
+    if layer_rngs is not None:
+        xs = (stacked, layer_rngs.reshape(num_layers // fold, fold, 3))
+    else:
+        xs = stacked
     init = (hidden, attn_bias.bias) if chained else hidden
     final, ys = jax.lax.scan(body, init, xs)
     if chained:
         final = final[0]
-    return final, ys.get("cls"), ys.get("hidden")
+    unfold = lambda y: (
+        None if y is None else y.reshape((num_layers,) + y.shape[2:])
+    )
+    return final, unfold(ys.get("cls")), unfold(ys.get("hidden"))
 
 
 # ---------------------------------------------------------------------------
