@@ -46,6 +46,13 @@ import time
 import jax
 import numpy as np
 
+# BENCH_TINY is a CPU-sized functional smoke: force the CPU backend (must
+# happen before any jax.devices() call — the axon TPU backend is
+# force-registered from sitecustomize) so smokes never collide with a TPU
+# job holding the chip.
+if os.environ.get("BENCH_TINY", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the Pallas attention kernel takes minutes to
 # compile through the remote-TPU tunnel; cache it across processes.
 jax.config.update(
@@ -701,7 +708,8 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             "capacity_exit_rate": round(forced_rate, 4),
             "dead_exits": dead,
         }
-        if dead and not tiny:
+        force_prune = os.environ.get("BENCH_FORCE_PRUNE", "0") == "1"
+        if dead and (not tiny or force_prune):
             # close the loop: actually build + measure the pruned cascade
             pruned_exit, _ = prune_dead_exits(
                 cfg.exit, pt.exit_distribution, prune_share

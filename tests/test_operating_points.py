@@ -200,3 +200,48 @@ def test_prune_dead_exits_params_and_forward():
     np.testing.assert_allclose(pr[0], full[1], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(pr[1], full[3], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(pr[2], full[4], rtol=1e-6, atol=1e-6)
+
+
+def test_ucb_rule_reduces_test_regret_across_seeds():
+    """VERDICT r4 #6 validation: derive the iso threshold on a noisy
+    validation store, measure the accuracy regret vs full depth on an
+    i.i.d. test store. Across seeds, the paired-UCB rule (z=1.28) must
+    (a) never pick a shallower point than the point estimate and (b) keep
+    the mean test regret within noise of zero, tighter than z=0."""
+    k = 4
+    regrets = {0.0: [], 1.28: []}
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+
+        def make_store(n):
+            labels = rng.integers(0, k, n)
+            onehot = np.eye(k)[labels]
+            def exit_logits(acc, scale):
+                correct = rng.random(n) < acc
+                preds = np.where(correct, labels, (labels + 1) % k)
+                return np.eye(k)[preds] * scale \
+                    + rng.standard_normal((n, k)) * 0.4
+            store = np.stack([
+                exit_logits(0.82, 5.0),
+                exit_logits(0.90, 3.0),
+                exit_logits(0.94, 3.0),  # final: good but imperfect
+            ])
+            return store, labels
+
+        val_store, val_labels = make_store(400)
+        test_store, test_labels = make_store(4000)
+        full_test = float(
+            np.mean(test_store[-1].argmax(-1) == test_labels)
+        )
+        for z in regrets:
+            (pt,) = select_operating_points(
+                val_store, val_labels, n_emb=1, n_stages=2, batch=64,
+                accuracy_drops=(("iso", 0.0),), confidence_z=z,
+            )
+            exits, preds = _scan(test_store, np.full(1, pt.threshold))
+            acc = float(np.mean(preds.argmax(-1) == test_labels))
+            regrets[z].append(full_test - acc)
+    # conservative rule: no seed's UCB regret exceeds its z=0 regret by
+    # more than sampling noise, and the mean is near zero
+    assert np.mean(regrets[1.28]) <= np.mean(regrets[0.0]) + 1e-9
+    assert np.mean(regrets[1.28]) < 0.01
