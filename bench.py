@@ -366,7 +366,9 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     n_train = int(os.environ.get("BENCH_ANYTIME_TRAIN", 96 if tiny else 4096))
-    n_eval = int(os.environ.get("BENCH_ANYTIME_EVAL", 64 if tiny else 256))
+    # 512 eval docs (r5): at 256 one document is 0.39pt of accuracy — too
+    # coarse to distinguish threshold-transfer regret from noise
+    n_eval = int(os.environ.get("BENCH_ANYTIME_EVAL", 64 if tiny else 512))
     epochs = int(os.environ.get("BENCH_ANYTIME_EPOCHS", 4 if tiny else 16))
     train_batch = int(os.environ.get("BENCH_ANYTIME_BATCH", 8 if tiny else 16))
     # from-scratch base-size recipe for the difficulty>0 task (probed per
@@ -539,9 +541,12 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         ).policy_logits().astype(jnp.float32)
 
     # the all-exits harvest keeps the full (B,H,S,S) bias live; 48 is the
-    # measured sweet spot after the r4 memory slimming (531 @ 32, 579 @
-    # 40-48, 565 @ 64 — the old 64-OOM is gone but bandwidth rolls off)
-    harvest_batch = min(serve_batch, 48)
+    # measured standalone sweet spot (531 @ 32, 579 @ 40-48, 565 @ 64) but
+    # here the batch must DIVIDE n_eval — a remainder batch would compile a
+    # second harvest program through the tunnel for a one-off few-ms win
+    harvest_batch = serve_batch
+    while n_eval % harvest_batch:
+        harvest_batch //= 2
 
     def harvest(data):
         stores = []
