@@ -303,7 +303,7 @@ def bench_train(batch: int) -> dict:
 
 def _device_split(
     split: str, n: int, bb, seed_offset: int, seq: int = SEQ,
-    difficulty: float = 0.0,
+    difficulty: float = 0.0, base_seed: int = 42,
 ):
     """Synthetic split fully materialized on device: token arrays shipped
     (a few MB), page images regenerated on device from the per-example
@@ -318,8 +318,8 @@ def _device_split(
     from multi_modal_early_exit_tpu.data.images import preprocess_images
 
     toks = synthetic_tokens(
-        n, num_labels=bb.num_labels, seq_len=seq, seed=42 + 1000 * seed_offset,
-        difficulty=difficulty,
+        n, num_labels=bb.num_labels, seq_len=seq,
+        seed=base_seed + 1000 * seed_offset, difficulty=difficulty,
     )
     labels = jax.device_put(toks["labels"])
     data = {
@@ -417,11 +417,19 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     bb = cfg.backbone
     n_emb, n_stages = 2, 2
 
-    train_data, _ = _device_split("train", n_train, bb, 0, seq, difficulty)
-    val_data, val_labels = _device_split(
-        "validation", n_eval, bb, 1, seq, difficulty
+    # BENCH_SEED varies data splits + init + training keys together, for
+    # multi-seed validation of the operating-point transfer (VERDICT r4 #6)
+    bench_seed = int(os.environ.get("BENCH_SEED", "0"))
+    base = 42 + 7919 * bench_seed
+    train_data, _ = _device_split(
+        "train", n_train, bb, 0, seq, difficulty, base
     )
-    test_data, test_labels = _device_split("test", n_eval, bb, 2, seq, difficulty)
+    val_data, val_labels = _device_split(
+        "validation", n_eval, bb, 1, seq, difficulty, base
+    )
+    test_data, test_labels = _device_split(
+        "test", n_eval, bb, 2, seq, difficulty, base
+    )
 
     # ---- train: epochs chained on device, one scalar fetch per epoch ----
     steps = n_train // train_batch
@@ -429,7 +437,7 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         learning_rate=lr, train_batch_size=train_batch, bf16=True,
         num_epochs=epochs, seed=0, warmup_ratio=warmup,
     )
-    params = init_ee_params(jax.random.key(0), cfg)
+    params = init_ee_params(jax.random.key(bench_seed), cfg)
     # train with the full-unroll encoder (scan_fold; see bench_train) —
     # eval/harvest/cascade keep the scanned form (fold only pays off in the
     # backward's bias-cotangent accumulation)
@@ -499,8 +507,8 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         return np.mean(accs, axis=0)
 
     params, opt_state = trainer.params, trainer.opt_state
-    key = jax.random.key(7)
-    perm_rng = np.random.default_rng(0)
+    key = jax.random.key(7 + bench_seed)
+    perm_rng = np.random.default_rng(bench_seed)
     losses = []
     t_train0 = time.perf_counter()
     for e in range(epochs):
@@ -782,6 +790,7 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         dead_exits=iso["dead_exits"],
         temp_clamp_hits=len(temp_clamped),
         serve_batch=serve_batch,
+        bench_seed=bench_seed,
     )
     if "pruned" in iso:
         result["pruned_docs_per_sec"] = iso["pruned"]["docs_per_sec"]
