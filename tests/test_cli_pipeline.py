@@ -106,10 +106,17 @@ def test_research_cli_over_dump(trained):
             if os.path.exists(os.path.join(d, "exit_logits-test.npz"))]
     out = research.main([
         "--checkpoint-dir", dirs[0], "--num-mixtures", "2000",
-        "--backend", "auto",
+        "--backend", "auto", "--time-sweeps",
     ])
     assert out["pareto"]
     assert os.path.exists(os.path.join(dirs[0], "mixture_search.json"))
+    # --time-sweeps records the reference's __main__ wall-clock harness
+    # (EE/thresh.py:313-315) as an artifact
+    import json as _json
+
+    with open(os.path.join(dirs[0], "sweep_timings.json")) as f:
+        timings = _json.load(f)
+    assert set(timings["seconds"]) >= {"opt0", "opt1"}
     accs = [p["accuracy"] for p in out["pareto"]]
     exits = [p["average_exit"] for p in out["pareto"]]
     # pareto front: accuracy increases along increasing average exit
