@@ -235,12 +235,15 @@ def bench_train(batch: int) -> dict:
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     # full-unroll encoder for the train step: the bias cotangent never
     # round-trips the HBM accumulator (146.9 -> 162.2 docs/sec measured,
-    # docs/PROFILE_TRAIN.md; scan_fold 4/6 OOM, 2/3 are intermediate)
-    fold = int(os.environ.get("MMEE_LAYERS_PER_STEP", "0")) or 12
+    # docs/PROFILE_TRAIN.md; scan_fold 4/6 OOM, 2/3 are intermediate).
+    # Under remat keep the per-layer scan: jax.checkpoint wraps the scan
+    # BODY, so folding all layers into one step would checkpoint the whole
+    # encoder at once and nullify the per-layer remat being measured.
+    # (MMEE_LAYERS_PER_STEP, read inside encoder_apply, still overrides.)
     cfg = _flagship_cfg(
         training_strategy="one_stage_subgraphs_weighted",
         gradient_checkpointing=remat,
-        scan_fold=fold,
+        scan_fold=1 if remat else 12,
     )
     bb = cfg.backbone
     params32 = init_ee_params(jax.random.key(0), cfg)
@@ -551,10 +554,13 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
     # the all-exits harvest keeps the full (B,H,S,S) bias live; 48 is the
     # measured standalone sweet spot (531 @ 32, 579 @ 40-48, 565 @ 64) but
     # here the batch must DIVIDE n_eval — a remainder batch would compile a
-    # second harvest program through the tunnel for a one-off few-ms win
-    harvest_batch = serve_batch
-    while n_eval % harvest_batch:
-        harvest_batch //= 2
+    # second harvest program through the tunnel for a one-off few-ms win.
+    # Largest divisor <= serve_batch (NOT repeated halving, which collapses
+    # to single-digit batches when serve_batch shares no power-of-two
+    # factor with n_eval, e.g. 48 vs 512)
+    harvest_batch = max(
+        d for d in range(1, serve_batch + 1) if n_eval % d == 0
+    )
 
     def harvest(data):
         stores = []
@@ -711,7 +717,10 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
         )
 
         n_exits = val_store.shape[0] - 1
-        dead = dead_exits_of(pt.exit_distribution, n_exits, prune_share)
+        # dead_exits keeps its historical <1% meaning (cross-round
+        # comparability of the headline field); the pruning measurement
+        # uses the separate prune_share threshold, reported in "pruned"
+        dead = dead_exits_of(pt.exit_distribution, n_exits)
         report = {
             **pt.to_dict(),
             "docs_per_sec": round(docs_per_sec, 2),
@@ -722,9 +731,9 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             "dead_exits": dead,
         }
         force_prune = os.environ.get("BENCH_FORCE_PRUNE", "0") == "1"
-        if dead and (not tiny or force_prune):
+        if not tiny or force_prune:
             # close the loop: actually build + measure the pruned cascade
-            pruned_exit, _ = prune_dead_exits(
+            pruned_exit, pruned_dead = prune_dead_exits(
                 cfg.exit, pt.exit_distribution, prune_share
             )
             if pruned_exit.exits != cfg.exit.exits:
@@ -733,7 +742,10 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                 pruned_cfg = dataclasses.replace(cfg, exit=pruned_exit)
                 pruned_params = prune_ee_params(params, cfg, pruned_cfg)
                 order = canonical_exit_order(cfg.exit)
-                kept = [i for i in range(len(order)) if i not in set(dead)]
+                kept = [
+                    i for i in range(len(order))
+                    if i not in set(pruned_dead)
+                ]
                 temps_p = [temps[i] for i in kept] + [temps[-1]]
                 dist_p = {
                     ni: pt.exit_distribution.get(oi, 0.0)
@@ -751,6 +763,8 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                 )
                 report["pruned"] = {
                     "exits": [str(e) for e in pruned_exit.exits],
+                    "pruned_exit_indices": pruned_dead,
+                    "min_share": prune_share,
                     "capacities": list(caps_p),
                     "docs_per_sec": round(p_dps, 2),
                     "test_accuracy": round(p_acc, 4),
@@ -758,8 +772,8 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                     "capacity_exit_rate": round(p_forced, 4),
                 }
                 print(
-                    f"anytime: point {pt.name!r} pruned dead exit(s) {dead} "
-                    f"(<{prune_share:.0%} val traffic): "
+                    f"anytime: point {pt.name!r} pruned dead exit(s) "
+                    f"{pruned_dead} (<{prune_share:.0%} val traffic): "
                     f"{docs_per_sec:.1f} -> {p_dps:.1f} docs/sec, "
                     f"acc {acc:.4f} -> {p_acc:.4f}",
                     file=sys.stderr, flush=True,
@@ -833,6 +847,11 @@ def _pretrained_parity_record() -> dict:
         return {"status": "skipped", "reason": "no local HF cache"}
     import subprocess
 
+    artifact = os.path.join(here, "PRETRAINED_PARITY.json")
+    # a stale artifact from an earlier run must not masquerade as this
+    # run's numbers (e.g. crash-before-write paired with an old pass)
+    if os.path.exists(artifact):
+        os.remove(artifact)
     proc = subprocess.run(
         [sys.executable, os.path.join(here, "scripts",
                                       "check_pretrained_parity.py")],
@@ -840,7 +859,6 @@ def _pretrained_parity_record() -> dict:
     )
     record = {"status": {0: "passed", 2: "skipped"}.get(proc.returncode,
                                                         "FAILED")}
-    artifact = os.path.join(here, "PRETRAINED_PARITY.json")
     try:
         with open(artifact) as f:
             data = json.load(f)
@@ -864,9 +882,10 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "all")
     K = int(os.environ.get("BENCH_K", 16))
     # measured sweet spots on v5e: cascade batch 64, harvest 48 (r4:
-    # 531 @ 32 -> 579 @ 48; 64 compiles but rolls off to 565), train 40
-    # with the full-unroll encoder (r5: 155.2 @ 16, 162.2 @ 32,
-    # 171.0 @ 40; 48 OOMs)
+    # 531 @ 32 -> 579 @ 48; 64 compiles but rolls off to 565), train 44
+    # with the full-unroll + chained-dbias encoder (r5: 171.0 @ 40 plain,
+    # 174.4 @ 40 chained, 176.3 @ 44 plain, 181.4 @ 44 chained,
+    # 171.8 @ 48 chained)
     batch_env = os.environ.get("BENCH_BATCH")
 
     def batch_for(m, default):
@@ -875,7 +894,7 @@ def main() -> None:
     runners = {
         "cascade": lambda: bench_cascade(batch_for("cascade", 64), K),
         "harvest": lambda: bench_harvest(batch_for("harvest", 48), K),
-        "train": lambda: bench_train(batch_for("train", 40)),
+        "train": lambda: bench_train(batch_for("train", 44)),
         "anytime": lambda: bench_anytime(batch_for("anytime", 64), K),
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -702,11 +702,7 @@ def encoder_apply(
     unchanged (same layer order, same rngs).
     """
     num_layers = cfg.num_hidden_layers
-    fold = int(
-        os.environ.get("MMEE_LAYERS_PER_STEP", "0")
-    ) or getattr(cfg, "scan_fold", 1)
-    if fold < 1 or num_layers % fold:
-        fold = 1
+    fold = effective_scan_fold(cfg)
     if rng is not None:
         layer_rngs = jax.random.split(rng, num_layers * 3).reshape(num_layers, 3)
     else:
@@ -891,13 +887,26 @@ def use_table_grad_attention(default: bool = False) -> bool:
     return default
 
 
+def effective_scan_fold(cfg) -> int:
+    """Layers folded per encoder scan step: MMEE_LAYERS_PER_STEP override,
+    else cfg.scan_fold; invalid divisors fall back to 1."""
+    fold = int(
+        os.environ.get("MMEE_LAYERS_PER_STEP", "0")
+    ) or getattr(cfg, "scan_fold", 1)
+    if fold < 1 or cfg.num_hidden_layers % fold:
+        return 1
+    return fold
+
+
 def use_chained_dbias(default: bool = False) -> bool:
-    """Chained-dbias training attention (the encoder scan carries the bias;
-    each layer's backward adds its ds into the carried cotangent in kernel).
-    MMEE_CHAINED_DBIAS=1 opts in; measured default is OFF: carrying the
-    (B,H,S,S) bias through the forward scan costs more (XLA inserts carry
-    copies) than the in-kernel add saves over the select_add pass
-    (134 -> 125 docs/sec at the reference budget)."""
+    """Chained-dbias training attention (the bias rides layer-to-layer;
+    each layer's backward adds its ds into the carried cotangent in kernel
+    via input_output_aliases). MMEE_CHAINED_DBIAS forces it on (1) or off
+    (0); the call-site default is fold-dependent: OFF under a scan (the
+    carry copies cost more than the in-kernel add saves — 134 -> 125
+    docs/sec, r3) but ON at full unroll (no carry copies exist, and the
+    in-kernel add replaces the 12-way dbias sum: 171.0 -> 181.4 docs/sec
+    at the reference budget, r5)."""
     import os
 
     flag = os.environ.get("MMEE_CHAINED_DBIAS")
@@ -1169,10 +1178,14 @@ def backbone_apply(
                     tx=enc["rel_pos_x_bias"].astype(jnp.float32) * scale,
                     ty=enc["rel_pos_y_bias"].astype(jnp.float32) * scale,
                 )
-            elif not deterministic and use_chained_dbias():
-                # training default: chain the bias through the scan so each
-                # layer's backward accumulates its bias cotangent in kernel
-                # (kills the per-layer dbias write + select_add pass)
+            elif not deterministic and use_chained_dbias(
+                default=effective_scan_fold(cfg) == cfg.num_hidden_layers
+            ):
+                # chain the bias layer-to-layer so each layer's backward
+                # accumulates its bias cotangent in kernel (kills the
+                # per-layer dbias write + accumulation pass); default ON
+                # exactly when the encoder is fully unrolled — see
+                # use_chained_dbias for the measured fold tradeoff
                 attn_bias = ChainedBiasContext(attn_bias)
         else:
             bias_pad_to = None

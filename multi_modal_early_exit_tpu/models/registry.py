@@ -276,15 +276,26 @@ def build_model(
             if pre is not None:
                 pre.pop("classifier", None)  # label count differs per dataset
                 if "embeddings" in pre:
-                    w = pre["embeddings"]["word_embeddings"]
-                    if w.shape[0] < v2.vocab_size:
-                        import numpy as np
+                    # pad ANY embedding table the config widened beyond the
+                    # checkpoint (vocab to the tokenizer range, positions
+                    # when seq_len pushed max_position_embeddings past HF's
+                    # 512): pretrained rows first, random-init tail kept —
+                    # a short table would make the gather silently clamp
+                    import numpy as np
 
-                        full = np.asarray(
-                            params["embeddings"]["word_embeddings"]
-                        ).copy()
-                        full[: w.shape[0]] = w
-                        pre["embeddings"]["word_embeddings"] = full
+                    init_emb = params["embeddings"]
+                    for key_name, arr in list(pre["embeddings"].items()):
+                        init_arr = init_emb.get(key_name)
+                        if (
+                            key_name != "LayerNorm"
+                            and init_arr is not None
+                            and np.ndim(arr) == 2
+                            and arr.shape[0] < np.shape(init_arr)[0]
+                            and arr.shape[1] == np.shape(init_arr)[1]
+                        ):
+                            full = np.asarray(init_arr).copy()
+                            full[: arr.shape[0]] = arr
+                            pre["embeddings"][key_name] = full
                 params.update(jax.tree.map(jnp.asarray, pre))
             else:
                 from multi_modal_early_exit_tpu.utils.logging import (

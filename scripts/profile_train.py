@@ -76,9 +76,13 @@ def main() -> None:
         TrainingArguments,
     )
 
+    # match bench.py's train mode: full-unroll encoder (per-layer scan
+    # under remat, same reasoning as bench_train; MMEE_LAYERS_PER_STEP,
+    # read inside encoder_apply, still overrides either)
     cfg = bench._flagship_cfg(
         training_strategy="one_stage_subgraphs_weighted",
         gradient_checkpointing=args.remat,
+        scan_fold=1 if args.remat else 12,
     )
     bb = cfg.backbone
     params32 = init_ee_params(jax.random.key(0), cfg)

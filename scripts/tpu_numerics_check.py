@@ -308,6 +308,54 @@ def _run_checks() -> None:
 
     record("packed_train_fwd_grads_bf16", 1e-1, packed_train)
 
+    # ---- 8b. chained-dbias training variant (the r5 bench default:
+    # MMEE_CHAINED_DBIAS=1 + full unroll, 181 docs/sec) — two chained
+    # layers must accumulate dbias in kernel exactly like the XLA path ----
+    def packed_chained(env):
+        (q, k, v, gw, pos, bbox, mask, seed, bias32, bias16,
+         bias32s, bias16s, params) = _unpack(env)
+        qp = q.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        kp = k.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        vp = v.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+        gwp = gw.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(jnp.bfloat16)
+
+        def loss_k(a, b, c, bb):
+            o1, bb1 = fa.flash_attention_packed_train_chained(
+                a, b, c, bb, seed, num_heads=H, rate=rate
+            )
+            o2, _ = fa.flash_attention_packed_train_chained(
+                o1.astype(jnp.bfloat16), b, c, bb1,
+                seed + 1, num_heads=H, rate=rate,
+            )
+            return (o2 * gwp).sum().astype(jnp.float32)
+
+        def ref_layer(a, b, c, bb, sd):
+            return fa.reference_attention_hash_dropout(
+                a.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                b.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                c.reshape(B, S, H, D).transpose(0, 2, 1, 3),
+                bb, sd, rate,
+            ).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+
+        def loss_r(a, b, c, bb):
+            o1 = ref_layer(a, b, c, bb, seed)
+            o2 = ref_layer(o1.astype(jnp.bfloat16), b, c, bb, seed + 1)
+            return (o2 * gwp).sum().astype(jnp.float32)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(qp, kp, vp, bias16)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(qp, kp, vp, bias16)
+        errs = [_err(a, b) for a, b in zip(gk[:3], gr[:3])]
+        # dbias accumulated over both layers: normalize by oracle magnitude
+        de = _err(gk[3], gr[3])
+        dnorm = de[0] / (de[1] + 1.0)
+        return (
+            jnp.maximum(jnp.max(jnp.stack([e[0] for e in errs])), dnorm),
+            jnp.max(jnp.stack([e[1] for e in errs])),
+            jnp.all(jnp.stack([e[2] for e in errs])) & de[2],
+        )
+
+    record("packed_train_chained_grads_bf16", 1e-1, packed_chained)
+
     # ---- 9. in-kernel-bias attention variant ------------------------------
     def fused_bias(env):
         (q, k, v, gw, pos, bbox, mask, seed, bias32, bias16,

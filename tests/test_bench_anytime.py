@@ -28,10 +28,13 @@ def test_bench_anytime_tiny(monkeypatch):
     assert result["metric"] == "anytime_iso_accuracy_docs_per_sec_per_chip"
     assert result["value"] > 0
     assert result["baseline"].startswith("estimated-32")
-    pts = result["operating_points"]
+    # curves + per-point detail live under "_detail", which main() strips
+    # into the BENCH_DETAIL.json sidecar (VERDICT r4 #1: compact headline)
+    detail = result["_detail"]
+    pts = detail["operating_points"]
     assert [p["name"] for p in pts] == ["iso", "fast", "faster"]
     # the measured curve ships with the result (>= 3 points)
-    assert len(result["anytime_curve"]) == 3
+    assert len(detail["anytime_curve"]) == 3
     assert "dead_exits" in result
     for p in pts:
         # iso-accuracy constraint held on validation by construction
@@ -40,6 +43,9 @@ def test_bench_anytime_tiny(monkeypatch):
         assert 0 <= p["test_average_exit"] <= 4
         assert 0 <= p["capacity_exit_rate"] <= 1
     # training actually stepped
-    assert np.isfinite(result["train"]["final_loss"])
-    assert result["train"]["final_loss"] < result["train"]["first_loss"]
-    assert len(result["temperatures"]) == 4  # 3 exits + final
+    assert np.isfinite(detail["train"]["final_loss"])
+    assert detail["train"]["final_loss"] < detail["train"]["first_loss"]
+    assert len(detail["temperatures"]) == 4  # 3 exits + final
+    # calibration diagnostics (VERDICT r4 #9): raw fits + clamp report
+    assert len(detail["temperatures_raw"]) == 4
+    assert result["temp_clamp_hits"] == len(detail["temperatures_clamped_rows"])
