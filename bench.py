@@ -736,7 +736,10 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             pruned_exit, pruned_dead = prune_dead_exits(
                 cfg.exit, pt.exit_distribution, prune_share
             )
-            if pruned_exit.exits != cfg.exit.exits:
+            # gate on the dead list, not an exits-tuple comparison:
+            # prune_dead_exits returns CANONICAL ordering, which differs
+            # from the user-entered tuple even with nothing pruned
+            if pruned_dead:
                 import dataclasses
 
                 pruned_cfg = dataclasses.replace(cfg, exit=pruned_exit)
