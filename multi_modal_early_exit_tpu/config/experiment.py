@@ -80,6 +80,12 @@ class ExperimentConfig:
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # encoder layers folded per lax.scan step (must divide the layer
+    # count; num_layers = full unroll). Full unroll is the measured-best
+    # TRAINING configuration on TPU (+23% step throughput at the reference
+    # budget, docs/PROFILE_TRAIN.md) — pass scan_fold=12 for base;
+    # MMEE_LAYERS_PER_STEP env overrides at trace time
+    scan_fold: int = 1
 
     # bookkeeping -------------------------------------------------------
     output_dir: str = "./save"

@@ -60,6 +60,9 @@ def _backbone_config(
         bb = bb.replace(input_size=image_size)
     if seq_len and seq_len > bb.max_position_embeddings - 2:
         bb = bb.replace(max_position_embeddings=seq_len + 2)
+    fold = int(getattr(cfg, "scan_fold", 1) or 1)
+    if fold > 1:
+        bb = bb.replace(scan_fold=fold)
     return bb
 
 
