@@ -247,7 +247,10 @@ def bench_train(batch: int) -> dict:
     )
     bb = cfg.backbone
     params32 = init_ee_params(jax.random.key(0), cfg)
-    args = TrainingArguments(train_batch_size=batch, bf16=True, learning_rate=2e-5)
+    args = TrainingArguments(
+        train_batch_size=batch, bf16=True, learning_rate=2e-5,
+        bf16_momentum=os.environ.get("MMEE_BF16_MOMENTUM", "0") == "1",
+    )
     trainer = EETrainer(cfg, params32, args, total_steps=1000)
 
     rng = np.random.default_rng(0)

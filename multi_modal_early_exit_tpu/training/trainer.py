@@ -55,6 +55,10 @@ class TrainingArguments:
     seed: int = 42
     log_every: int = 10
     bf16: bool = False  # mixed precision: bf16 forward, f32 master params
+    # bf16 first-moment (Adam m) state: halves one of the three f32
+    # optimizer-state streams in the HBM-bound adamw update. OPT-IN — the
+    # default keeps f32 states for reference-optimizer parity (HF AdamW)
+    bf16_momentum: bool = False
 
 
 def _is_trainable_two_stage(path: str) -> bool:
@@ -93,7 +97,9 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(args.max_grad_norm))
     chain.append(
         optax.adamw(
-            schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=args.weight_decay
+            schedule, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=args.weight_decay,
+            mu_dtype=jnp.bfloat16 if args.bf16_momentum else None,
         )
     )
     tx = optax.chain(*chain)
