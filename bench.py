@@ -741,8 +741,13 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
             )
             # gate on the dead list, not an exits-tuple comparison:
             # prune_dead_exits returns CANONICAL ordering, which differs
-            # from the user-entered tuple even with nothing pruned
-            if pruned_dead:
+            # from the user-entered tuple even with nothing pruned. The
+            # all-dead case (e.g. the full-depth fallback operating point,
+            # dist = {final: 1.0}) is prune_dead_exits' degenerate branch —
+            # the config comes back unchanged, so there is nothing to
+            # measure
+            order_len = len(canonical_exit_order(cfg.exit))
+            if pruned_dead and len(pruned_dead) < order_len:
                 import dataclasses
 
                 pruned_cfg = dataclasses.replace(cfg, exit=pruned_exit)
@@ -753,6 +758,12 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                     if i not in set(pruned_dead)
                 ]
                 temps_p = [temps[i] for i in kept] + [temps[-1]]
+                # dropping the pruned exits' (tiny) shares is the CORRECT
+                # mass accounting for capacity sizing: survival into each
+                # stage is computed as 1 minus the KEPT exits' shares
+                # (capacities_from_distribution), so traffic that used to
+                # leave at a pruned head automatically counts as surviving
+                # into the deeper stages it now flows through
                 dist_p = {
                     ni: pt.exit_distribution.get(oi, 0.0)
                     for ni, oi in enumerate(kept)

@@ -889,10 +889,12 @@ def use_table_grad_attention(default: bool = False) -> bool:
 
 def effective_scan_fold(cfg) -> int:
     """Layers folded per encoder scan step: MMEE_LAYERS_PER_STEP override,
-    else cfg.scan_fold; invalid divisors fall back to 1."""
-    fold = int(
-        os.environ.get("MMEE_LAYERS_PER_STEP", "0")
-    ) or getattr(cfg, "scan_fold", 1)
+    else cfg.scan_fold; invalid values/divisors fall back gracefully."""
+    try:
+        fold = int(os.environ.get("MMEE_LAYERS_PER_STEP", "0"))
+    except ValueError:  # empty/garbage env value: behave like unset
+        fold = 0
+    fold = fold or getattr(cfg, "scan_fold", 1)
     if fold < 1 or cfg.num_hidden_layers % fold:
         return 1
     return fold
@@ -907,8 +909,6 @@ def use_chained_dbias(default: bool = False) -> bool:
     docs/sec, r3) but ON at full unroll (no carry copies exist, and the
     in-kernel add replaces the 12-way dbias sum: 171.0 -> 181.4 docs/sec
     at the reference budget, r5)."""
-    import os
-
     flag = os.environ.get("MMEE_CHAINED_DBIAS")
     if flag == "0":
         return False

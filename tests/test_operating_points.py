@@ -245,3 +245,18 @@ def test_ucb_rule_reduces_test_regret_across_seeds():
     # more than sampling noise, and the mean is near zero
     assert np.mean(regrets[1.28]) <= np.mean(regrets[0.0]) + 1e-9
     assert np.mean(regrets[1.28]) < 0.01
+
+
+def test_prune_dead_exits_all_dead_returns_unchanged():
+    """Degenerate contract the bench pruning gate relies on (r5 review):
+    with EVERY exit dead (the full-depth fallback's dist = {final: 1.0})
+    the config comes back unchanged and the dead list names all exits —
+    callers must skip the pruned measurement in that case."""
+    from multi_modal_early_exit_tpu.evaluation.operating_points import (
+        prune_dead_exits,
+    )
+
+    exit_cfg = ExitConfig(exits=("text_avg", 1))
+    pruned, dead = prune_dead_exits(exit_cfg, {2: 1.0})
+    assert pruned is exit_cfg
+    assert dead == [0, 1]
