@@ -134,6 +134,33 @@ def _maybe_load_pretrained_v2(v2, weights: str) -> Optional[Params]:
         return None
 
 
+def pad_embedding_tables(pre: Params, init: Params) -> Params:
+    """Pad pretrained embedding tables up to the (wider) initialized ones.
+
+    When the runtime config widens a table beyond the checkpoint — vocab to
+    the hermetic tokenizer range, positions when seq_len pushes
+    max_position_embeddings past the checkpoint's — the pretrained rows
+    occupy the front and the random-init tail is kept; a short table would
+    make the embedding gather silently CLAMP out-of-range ids onto its
+    last row. Non-2D leaves (LayerNorm) and matching shapes pass through."""
+    import numpy as np
+
+    out = dict(pre)
+    for key_name, arr in pre.items():
+        init_arr = init.get(key_name)
+        if (
+            key_name != "LayerNorm"
+            and init_arr is not None
+            and np.ndim(arr) == 2
+            and arr.shape[0] < np.shape(init_arr)[0]
+            and arr.shape[1] == np.shape(init_arr)[1]
+        ):
+            full = np.asarray(init_arr).copy()
+            full[: arr.shape[0]] = arr
+            out[key_name] = full
+    return out
+
+
 def infer_backbone_config(
     params: Params, base: Optional[LayoutLMv3Config] = None
 ) -> LayoutLMv3Config:
@@ -279,26 +306,9 @@ def build_model(
             if pre is not None:
                 pre.pop("classifier", None)  # label count differs per dataset
                 if "embeddings" in pre:
-                    # pad ANY embedding table the config widened beyond the
-                    # checkpoint (vocab to the tokenizer range, positions
-                    # when seq_len pushed max_position_embeddings past HF's
-                    # 512): pretrained rows first, random-init tail kept —
-                    # a short table would make the gather silently clamp
-                    import numpy as np
-
-                    init_emb = params["embeddings"]
-                    for key_name, arr in list(pre["embeddings"].items()):
-                        init_arr = init_emb.get(key_name)
-                        if (
-                            key_name != "LayerNorm"
-                            and init_arr is not None
-                            and np.ndim(arr) == 2
-                            and arr.shape[0] < np.shape(init_arr)[0]
-                            and arr.shape[1] == np.shape(init_arr)[1]
-                        ):
-                            full = np.asarray(init_arr).copy()
-                            full[: arr.shape[0]] = arr
-                            pre["embeddings"][key_name] = full
+                    pre["embeddings"] = pad_embedding_tables(
+                        pre["embeddings"], params["embeddings"]
+                    )
                 params.update(jax.tree.map(jnp.asarray, pre))
             else:
                 from multi_modal_early_exit_tpu.utils.logging import (

@@ -273,3 +273,40 @@ def test_v2_trains_loss_decreases():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_pad_embedding_tables():
+    """Pretrained tables narrower than the widened config must be padded
+    with the init tail (ADVICE r4 + r5 review: a short table makes the
+    gather silently clamp trailing ids/positions onto its last row)."""
+    import numpy as np
+
+    from multi_modal_early_exit_tpu.models.registry import (
+        pad_embedding_tables,
+    )
+
+    rng = np.random.default_rng(0)
+    pre = {
+        "word_embeddings": rng.standard_normal((10, 4)),
+        "position_embeddings": rng.standard_normal((6, 4)),
+        "LayerNorm": {"scale": np.ones(4), "bias": np.zeros(4)},
+    }
+    init = {
+        "word_embeddings": rng.standard_normal((16, 4)),
+        "position_embeddings": rng.standard_normal((8, 4)),
+        "LayerNorm": {"scale": np.ones(4), "bias": np.zeros(4)},
+    }
+    out = pad_embedding_tables(pre, init)
+    assert out["word_embeddings"].shape == (16, 4)
+    np.testing.assert_array_equal(
+        out["word_embeddings"][:10], pre["word_embeddings"]
+    )
+    np.testing.assert_array_equal(
+        out["word_embeddings"][10:], init["word_embeddings"][10:]
+    )
+    assert out["position_embeddings"].shape == (8, 4)
+    np.testing.assert_array_equal(
+        out["position_embeddings"][6:], init["position_embeddings"][6:]
+    )
+    # LayerNorm passes through untouched
+    assert out["LayerNorm"] is pre["LayerNorm"]
