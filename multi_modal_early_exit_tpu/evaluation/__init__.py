@@ -26,6 +26,17 @@ from multi_modal_early_exit_tpu.evaluation.pipeline import (  # noqa: F401
     get_logits,
 )
 from multi_modal_early_exit_tpu.evaluation.thresholds import (  # noqa: F401
+    incremental_global_sweep,
     mixture_pareto_sweep,
+    naive_global_sweep,
+    time_global_sweeps,
     vectorized_global_sweep,
+)
+from multi_modal_early_exit_tpu.evaluation.operating_points import (  # noqa: F401
+    OperatingPoint,
+    dead_exits_of,
+    paired_drop_ucb,
+    prune_dead_exits,
+    select_operating_points,
+    sweep_thresholds,
 )

@@ -9,6 +9,7 @@ from multi_modal_early_exit_tpu.models.ee.model import (  # noqa: F401
     canonical_exit_order,
     ee_forward,
     init_ee_params,
+    prune_ee_params,
 )
 from multi_modal_early_exit_tpu.models.ee.engine import AnytimeEngine  # noqa: F401
 from multi_modal_early_exit_tpu.models.ee.cascade import (  # noqa: F401
