@@ -141,6 +141,94 @@ def paired_drop_ucb(
     return m + float(z) * float(d.std(ddof=1)) / float(np.sqrt(n))
 
 
+def select_mixture_operating_point(
+    store: np.ndarray,
+    labels: np.ndarray,
+    n_emb: int,
+    n_stages: int,
+    batch: int,
+    accuracy_drop: float = 0.0,
+    num_mixtures: int = 200_000,
+    num_per_exit: int = 24,
+    seed: int = 42,
+    confidence_z: float = 1.28,
+    multiple: int = 8,
+    tail: Optional[float] = 0.995,
+    chunk: int = 4096,
+) -> Optional[OperatingPoint]:
+    """Per-exit-threshold (2D) operating point from a validation store.
+
+    Runs the reference's threshold-mixture search (EE/thresh.py:245-262 /
+    EE/large_scale.py — percentile grids + random mixtures) against the
+    paired-UCB budget rule and returns the minimum-average-exit mixture
+    whose drop UCB vs full depth is within ``accuracy_drop``; None when no
+    mixture qualifies. The exit convention is the CASCADE's strict ``>``
+    (crit > thr_j; final always exits), so the returned thresholds drive
+    ``make_cascade_forward(threshold=pt.threshold)`` with decisions equal
+    to this offline evaluation (percentile thresholds sit exactly ON score
+    values, so the reference 2D path's ``>=`` would disagree on ties).
+    ``pt.threshold`` is the per-exit list; everything else matches
+    select_operating_points' contract.
+    """
+    from multi_modal_early_exit_tpu.evaluation.thresholds import (
+        csf_matrix,
+        percentile_thresholds,
+        random_mixtures,
+    )
+
+    store = np.asarray(store)
+    labels = np.asarray(labels)
+    n_rows, n = store.shape[0], store.shape[1]
+    scores = csf_matrix(store)  # (E+1, N)
+    grid = percentile_thresholds(store, num_per_exit)
+    mixtures = random_mixtures(grid, num_mixtures, seed)  # (M, E+1)
+    correct = store.argmax(-1) == labels[None]  # (E+1, N)
+    full_correct = correct[-1]
+    full_acc = float(full_correct.mean())
+
+    best = None
+    for lo in range(0, num_mixtures, chunk):
+        mx = mixtures[lo : lo + chunk]
+        # strict > (cascade convention); final row threshold is 0 from the
+        # grid, and msp > 0 always, so the final row always passes
+        passed = scores[None] > mx[:, :, None]  # (C, E+1, N)
+        passed[:, -1, :] = True
+        assignment = passed.argmax(axis=1)  # (C, N)
+        corr = correct[assignment, np.arange(n)[None]]  # (C, N)
+        d = full_correct[None].astype(np.float64) - corr.astype(np.float64)
+        drop = d.mean(axis=1)
+        if confidence_z > 0.0 and n >= 2:
+            ucb = drop + confidence_z * d.std(axis=1, ddof=1) / np.sqrt(n)
+        else:
+            ucb = drop
+        avg_exit = assignment.mean(axis=1)
+        ok = ucb <= accuracy_drop
+        if not ok.any():
+            continue
+        idx = np.flatnonzero(ok)
+        w = idx[np.argmin(avg_exit[idx])]
+        cand = (float(avg_exit[w]), lo + int(w), mx[w], assignment[w])
+        if best is None or cand[0] < best[0]:
+            best = cand
+    if best is None:
+        return None
+    _, _, thr_vec, assignment = best
+    dist = exit_distribution_of(assignment, n_rows)
+    acc = float(correct[assignment, np.arange(n)].mean())
+    return OperatingPoint(
+        name="mixture",
+        threshold=[round(float(t), 6) for t in thr_vec[:-1]],
+        accuracy_drop_budget=float(accuracy_drop),
+        val_accuracy=acc,
+        val_full_accuracy=full_acc,
+        val_average_exit=float(assignment.mean()),
+        exit_distribution=dist,
+        capacities=capacities_from_distribution(
+            dist, batch, n_emb, n_stages, multiple=multiple, tail=tail
+        ),
+    )
+
+
 def select_operating_points(
     store: np.ndarray,
     labels: np.ndarray,

@@ -128,6 +128,13 @@ def make_cascade_forward(
     ``capacities[i]`` is the static row count of encoder stage i (stages are
     split at the encoder exits, last stage runs to the final classifier).
 
+    ``threshold`` is either one global value or a per-exit sequence of
+    length num_exits (the live counterpart of the offline 2D per-exit
+    threshold policies, EE/thresh.py:188-225 / EE/large_scale.py): exit j
+    compares its criterion against ``threshold[j]``; the final classifier
+    always exits. Comparison keeps the criterion's ``sign`` convention
+    (strict ``>`` for max-confidence, as the 1D offline policy does).
+
     ``temperatures`` (optional, length num_exits + 1) applies per-exit
     temperature scaling *to the exit criterion only*: criterion j is
     computed on ``head_out / T_j`` — the live counterpart of running the
@@ -161,6 +168,15 @@ def make_cascade_forward(
     emb_exits = [e for e in order if isinstance(e, str)]
     enc_exits = [e for e in order if isinstance(e, int)]
     n_emb, E = len(emb_exits), len(order)
+    if np.ndim(thr) == 0:
+        thrs = (float(thr),) * E
+    else:
+        if len(thr) != E:
+            raise ValueError(
+                f"need {E} per-exit thresholds (one per exit; the final "
+                f"classifier always exits), got {len(thr)}"
+            )
+        thrs = tuple(float(t) for t in thr)
     L = bb_cfg.num_hidden_layers
     bounds = []
     prev = 0
@@ -251,7 +267,7 @@ def make_cascade_forward(
                 prev_pred = jnp.where(running, pred_j, prev_pred)
             else:
                 crit_j = crit_fn(head_out / temps[j])
-            exits_now = running & sign(crit_j, thr)
+            exits_now = running & sign(crit_j, thrs[j])
             out_logits = jnp.where(exits_now[:, None], logits_j, out_logits)
             exit_ids = jnp.where(exits_now, j, exit_ids)
             # remember best-so-far logits for samples forced out later
@@ -407,7 +423,10 @@ def make_cascade_forward(
 
             # scatter stage results back to batch rows
             sel_running = jnp.take(running, sel)  # selected rows still running
-            pass_c = sign(crit_c, thr) | is_final
+            pass_c = (
+                sign(crit_c, thrs[min(n_emb + stage_idx, E - 1)])
+                | is_final
+            )
             exit_pos = E if is_final else n_emb + stage_idx
             exits_now_c = sel_running & pass_c
 

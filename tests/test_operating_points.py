@@ -260,3 +260,72 @@ def test_prune_dead_exits_all_dead_returns_unchanged():
     pruned, dead = prune_dead_exits(exit_cfg, {2: 1.0})
     assert pruned is exit_cfg
     assert dead == [0, 1]
+
+
+@pytest.mark.slow
+def test_cascade_per_exit_thresholds_match_offline_2d_policy():
+    """Cascade with a per-exit threshold vector must make the same decisions
+    as the strict-> offline 2D scan (the live counterpart of the reference's
+    opt0_2D mixtures, EE/thresh.py:188-225)."""
+    from multi_modal_early_exit_tpu.evaluation.thresholds import csf_matrix
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(17)
+    B, S = 12, 20
+    batch = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.ones((B, S), jnp.int32),
+    )
+    store = np.asarray(
+        ee_forward(params, cfg, *batch).policy_logits(), np.float64
+    )
+    thr_vec = [0.3, 0.5, 0.28]  # one per exit (final always exits)
+
+    scores = csf_matrix(store)  # (E+1, N)
+    passed = scores > np.array(thr_vec + [0.0])[:, None]
+    passed[-1] = True
+    expected_exits = passed.argmax(0)
+
+    cascade = jax.jit(
+        make_cascade_forward(cfg, capacities=(B, B), threshold=thr_vec)
+    )
+    res = cascade(params, *batch)
+    np.testing.assert_array_equal(np.asarray(res.exit_ids), expected_exits)
+
+
+def test_cascade_per_exit_threshold_length_validated():
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", 1)),
+    )
+    with pytest.raises(ValueError, match="per-exit thresholds"):
+        make_cascade_forward(cfg, capacities=(4, 4), threshold=[0.5])
+
+
+def test_select_mixture_operating_point():
+    from multi_modal_early_exit_tpu.evaluation.operating_points import (
+        select_mixture_operating_point,
+    )
+
+    store, labels = _toy_store()
+    pt = select_mixture_operating_point(
+        store, labels, n_emb=1, n_stages=2, batch=64,
+        accuracy_drop=0.01, num_mixtures=20_000, num_per_exit=12, seed=1,
+    )
+    assert pt is not None
+    assert pt.name == "mixture"
+    assert len(pt.threshold) == 2  # one per exit; final excluded
+    assert pt.val_accuracy >= pt.val_full_accuracy - 0.01 - 1e-9
+    # the 2D search can only do at least as well as the best single global
+    # threshold under the same budget/rule
+    (iso,) = select_operating_points(
+        store, labels, n_emb=1, n_stages=2, batch=64,
+        accuracy_drops=(("iso", 0.01),),
+    )
+    assert pt.val_average_exit <= iso.val_average_exit + 1e-9
