@@ -37,6 +37,7 @@ from multi_modal_early_exit_tpu.evaluation.operating_points import (  # noqa: F4
     dead_exits_of,
     paired_drop_ucb,
     prune_dead_exits,
+    select_mixture_operating_point,
     select_operating_points,
     sweep_thresholds,
 )

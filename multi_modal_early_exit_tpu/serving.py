@@ -44,7 +44,10 @@ class Pipeline:
         params,
         cfg: EEModelConfig,
         id2label: Optional[Dict[int, str]] = None,
-        threshold: Optional[float] = None,
+        # one global confidence threshold, or a per-exit vector (length =
+        # num exits) from evaluation.select_mixture_operating_point — the
+        # cascade supports both (models/ee/cascade.make_cascade_forward)
+        threshold=None,
         batch_size: int = 16,
         exit_distribution: Optional[Dict[int, float]] = None,
         tokenizer=None,

@@ -74,3 +74,22 @@ def test_pipeline_checkpoint_roundtrip(tmp_path, pipe):
     b = restored.predict(images, words, boxes)
     assert a[0]["label_id"] == b[0]["label_id"]
     assert a[0]["exit"] == b[0]["exit"]
+
+
+@pytest.mark.slow
+def test_pipeline_accepts_per_exit_thresholds(pipe):
+    """A mixture-derived per-exit threshold vector drives the Pipeline's
+    cascade (r5: evaluation.select_mixture_operating_point -> serving)."""
+    from PIL import Image
+
+    mix_pipe = Pipeline(
+        pipe.params, pipe.cfg,
+        id2label={i: f"class_{i}" for i in range(4)},
+        batch_size=4, seq_len=32, threshold=[0.25, 0.4],
+    )
+    images = [Image.new("RGB", (64, 64), (255, 255, 255))] * 4
+    words = [["memo", "subject"]] * 4
+    boxes = [[[5, 5, 50, 20], [60, 5, 120, 20]]] * 4
+    results = mix_pipe.predict(images, words, boxes)
+    assert len(results) == 4
+    assert all(0 <= r["exit"] <= 2 for r in results)
