@@ -192,6 +192,17 @@ def make_cascade_forward(
     # 'greater is exit' criteria low values continue; for 'lower is exit'
     # high values continue.
     higher_exits = sign(jnp.asarray(1.0), jnp.asarray(0.0))
+    # capacity-pressure priority is the MARGIN to the sample's own exit
+    # threshold (sign-adjusted so higher margin == more exit-worthy): with
+    # one global threshold this is a constant shift (identical ordering to
+    # ranking by raw criterion), but with per-exit threshold vectors the
+    # raw criterion mis-orders samples whose exits use different bars.
+    # Patience keeps the raw agreement count (last_crit doubles as the
+    # counter there).
+    if bool(higher_exits):
+        margin_of = lambda crit, t: crit - t  # noqa: E731
+    else:
+        margin_of = lambda crit, t: t - crit  # noqa: E731
 
     def cascade(params, input_ids, bbox, pixel_values, attention_mask):
         B = input_ids.shape[0]
@@ -274,7 +285,8 @@ def make_cascade_forward(
             out_logits = jnp.where(
                 (running & ~exits_now)[:, None], logits_j, out_logits
             )
-            last_crit = jnp.where(running, crit_j, last_crit)
+            stored_j = crit_j if use_patience else margin_of(crit_j, thrs[j])
+            last_crit = jnp.where(running, stored_j, last_crit)
             running = running & ~exits_now
 
         capacity_exited = jnp.zeros((B,), bool)
@@ -306,10 +318,13 @@ def make_cascade_forward(
                 full_mask = jnp.pad(full_mask, ((0, 0), (0, pad)))
         state = (combined, full_bbox, pos_ids, full_mask)
 
-        # desire-to-continue score: most-confident first would exit; we rank
-        # so the LEAST exit-worthy keep compute
+        # desire-to-continue score: most-confident first would exit; we
+        # rank so the LEAST exit-worthy keep compute. last_crit holds the
+        # sign-adjusted margin to the sample's own exit threshold (or the
+        # raw agreement count for patience, whose sign is 'higher exits'),
+        # so -crit is the continue-worthiness in every mode.
         def continue_score(crit, running_mask):
-            s = -crit if higher_exits else crit
+            s = -crit
             # running samples must outrank finished ones
             return jnp.where(running_mask, s, -jnp.inf)
 
@@ -441,7 +456,10 @@ def make_cascade_forward(
             )
             new_running_c = sel_running & ~pass_c
             running = running.at[sel].set(new_running_c)
-            last_crit = last_crit.at[sel].set(crit_c)
+            stored_c = crit_c if use_patience else margin_of(
+                crit_c, thrs[min(n_emb + stage_idx, E - 1)]
+            )
+            last_crit = last_crit.at[sel].set(stored_c)
 
             if not is_final:
                 # scatter the compacted state back to batch rows so the next

@@ -173,3 +173,61 @@ def test_cascade_with_flash_kernels_matches_xla_path(monkeypatch):
         np.asarray(flash.logits), np.asarray(plain.logits),
         atol=5e-2, rtol=5e-2,
     )
+
+
+@pytest.mark.slow
+def test_capacity_priority_is_margin_to_own_threshold():
+    """Under capacity pressure with PER-EXIT thresholds, the rows forced
+    out must be those with the largest margin to their own exit's bar
+    (closest to exiting anyway) — not the raw-criterion ranking, which
+    mis-orders when exits use different bars (r5 mixture serving)."""
+    from multi_modal_early_exit_tpu.evaluation.thresholds import csf_matrix
+
+    cfg = EEModelConfig(
+        backbone=LayoutLMv3Config.tiny(num_labels=4),
+        exit=ExitConfig(exits=("text_avg", "vision_avg", 1)),
+    )
+    params = init_ee_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(23)
+    B, S = 16, 20
+    batch = (
+        jnp.asarray(rng.integers(3, 1000, (B, S)), jnp.int32),
+        jnp.asarray(np.sort(rng.integers(0, 500, (B, S, 4)), -1), jnp.int32),
+        jnp.asarray(rng.standard_normal((B, 3, 32, 32)), jnp.float32),
+        jnp.ones((B, S), jnp.int32),
+    )
+    store = np.asarray(
+        ee_forward(params, cfg, *batch).policy_logits(), np.float64
+    )
+    scores = csf_matrix(store)  # (E+1, B); order: vision_avg, text_avg, 1
+    # data-driven bars: almost nobody clears vision_avg, ~1/4 clear
+    # text_avg — guarantees a large surviving set to squeeze
+    thr_vec = [
+        float(np.quantile(scores[0], 0.95)),
+        float(np.quantile(scores[1], 0.75)),
+        0.5,
+    ]
+
+    # offline: who survives the two embedding exits?
+    exited = (scores[0] > thr_vec[0]) | (
+        ~(scores[0] > thr_vec[0]) & (scores[1] > thr_vec[1])
+    )
+    running = ~exited
+    n_run = int(running.sum())
+    assert n_run >= 4, "quantile bars must leave survivors"
+    cap0 = n_run - 2  # force exactly 2 capacity overflows
+    # margin at the LAST embedding exit (text_avg = canonical index 1)
+    margin = scores[1] - thr_vec[1]
+    run_idx = np.flatnonzero(running)
+    forced_expected = set(
+        run_idx[np.argsort(-margin[run_idx])][: n_run - cap0].tolist()
+    )
+
+    cascade = jax.jit(
+        make_cascade_forward(
+            cfg, capacities=(cap0, cap0), threshold=thr_vec
+        )
+    )
+    res = cascade(params, *batch)
+    forced = set(np.flatnonzero(np.asarray(res.capacity_exited)).tolist())
+    assert forced == forced_expected
