@@ -160,15 +160,23 @@ def select_mixture_operating_point(
 
     Runs the reference's threshold-mixture search (EE/thresh.py:245-262 /
     EE/large_scale.py — percentile grids + random mixtures) against the
-    paired-UCB budget rule and returns the minimum-average-exit mixture
-    whose drop UCB vs full depth is within ``accuracy_drop``; None when no
-    mixture qualifies. The exit convention is the CASCADE's strict ``>``
-    (crit > thr_j; final always exits), so the returned thresholds drive
+    paired-UCB budget rule. Selecting the minimum over hundreds of
+    thousands of per-candidate bounds would reintroduce the winner's-curse
+    bias the UCB exists to remove (a many-way selection finds the
+    mixtures most favored by validation noise), so the search is
+    SPLIT-THEN-CONFIRM: candidates are screened on one half of the store,
+    and the shallowest few are re-checked on the held-out half — fresh
+    data the selection never saw — with the first confirmed one winning.
+    Returns None when no mixture survives both gates.
+
+    The exit convention is the CASCADE's strict ``>`` (crit > thr_j; final
+    always exits), so the returned (UNROUNDED) thresholds drive
     ``make_cascade_forward(threshold=pt.threshold)`` with decisions equal
-    to this offline evaluation (percentile thresholds sit exactly ON score
-    values, so the reference 2D path's ``>=`` would disagree on ties).
-    ``pt.threshold`` is the per-exit list; everything else matches
-    select_operating_points' contract.
+    to this offline evaluation — percentile thresholds sit exactly ON
+    score values, so both rounding and the reference 2D path's ``>=``
+    would flip ties. ``pt.threshold`` is the per-exit list; everything
+    else matches select_operating_points' contract (final stats/capacities
+    are computed on the full store with the winning thresholds).
     """
     from multi_modal_early_exit_tpu.evaluation.thresholds import (
         csf_matrix,
@@ -186,38 +194,61 @@ def select_mixture_operating_point(
     full_correct = correct[-1]
     full_acc = float(full_correct.mean())
 
-    best = None
-    for lo in range(0, num_mixtures, chunk):
-        mx = mixtures[lo : lo + chunk]
-        # strict > (cascade convention); final row threshold is 0 from the
-        # grid, and msp > 0 always, so the final row always passes
-        passed = scores[None] > mx[:, :, None]  # (C, E+1, N)
-        passed[:, -1, :] = True
-        assignment = passed.argmax(axis=1)  # (C, N)
-        corr = correct[assignment, np.arange(n)[None]]  # (C, N)
-        d = full_correct[None].astype(np.float64) - corr.astype(np.float64)
+    perm = np.random.RandomState(seed + 1).permutation(n)
+    sel_idx, conf_idx = perm[: n // 2], perm[n // 2 :]
+
+    def ucb_and_depth(mx, sample_idx):
+        """(ucb, avg_exit) per mixture over the given sample subset."""
+        sc = scores[:, sample_idx]
+        passed = sc[None] > mx[:, :, None]  # (C, E+1, S)
+        passed[:, -1, :] = True  # final always exits (grid thr 0; msp > 0)
+        assignment = passed.argmax(axis=1)
+        corr = correct[:, sample_idx][assignment,
+                                      np.arange(len(sample_idx))[None]]
+        d = full_correct[sample_idx][None].astype(np.float64) \
+            - corr.astype(np.float64)
         drop = d.mean(axis=1)
-        if confidence_z > 0.0 and n >= 2:
-            ucb = drop + confidence_z * d.std(axis=1, ddof=1) / np.sqrt(n)
+        m = len(sample_idx)
+        if confidence_z > 0.0 and m >= 2:
+            ucb = drop + confidence_z * d.std(axis=1, ddof=1) / np.sqrt(m)
         else:
             ucb = drop
-        avg_exit = assignment.mean(axis=1)
-        ok = ucb <= accuracy_drop
-        if not ok.any():
+        return ucb, assignment.mean(axis=1)
+
+    # screen on the selection half; keep the shallowest qualifiers
+    keep = 32
+    candidates: list = []  # (avg_exit_on_A, mixture_row)
+    for lo in range(0, num_mixtures, chunk):
+        mx = mixtures[lo : lo + chunk]
+        ucb, avg_exit = ucb_and_depth(mx, sel_idx)
+        idx = np.flatnonzero(ucb <= accuracy_drop)
+        if idx.size == 0:
             continue
-        idx = np.flatnonzero(ok)
-        w = idx[np.argmin(avg_exit[idx])]
-        cand = (float(avg_exit[w]), lo + int(w), mx[w], assignment[w])
-        if best is None or cand[0] < best[0]:
-            best = cand
-    if best is None:
+        order = idx[np.argsort(avg_exit[idx])][:keep]
+        candidates.extend((float(avg_exit[i]), mx[i]) for i in order)
+        candidates.sort(key=lambda c: c[0])
+        candidates = candidates[:keep]
+    if not candidates:
         return None
-    _, _, thr_vec, assignment = best
+
+    # confirm on the held-out half: a ~32-way selection leaves negligible
+    # bias; the first (shallowest) confirmed candidate wins
+    cand_mx = np.stack([c[1] for c in candidates])
+    conf_ucb, _ = ucb_and_depth(cand_mx, conf_idx)
+    winners = np.flatnonzero(conf_ucb <= accuracy_drop)
+    if winners.size == 0:
+        return None
+    thr_vec = cand_mx[winners[0]]
+
+    # final stats on the FULL store with the winning thresholds
+    passed = scores > thr_vec[:, None]
+    passed[-1] = True
+    assignment = passed.argmax(axis=0)
     dist = exit_distribution_of(assignment, n_rows)
     acc = float(correct[assignment, np.arange(n)].mean())
     return OperatingPoint(
         name="mixture",
-        threshold=[round(float(t), 6) for t in thr_vec[:-1]],
+        threshold=[float(t) for t in thr_vec[:-1]],
         accuracy_drop_budget=float(accuracy_drop),
         val_accuracy=acc,
         val_full_accuracy=full_acc,

@@ -192,17 +192,13 @@ def make_cascade_forward(
     # 'greater is exit' criteria low values continue; for 'lower is exit'
     # high values continue.
     higher_exits = sign(jnp.asarray(1.0), jnp.asarray(0.0))
-    # capacity-pressure priority is the MARGIN to the sample's own exit
-    # threshold (sign-adjusted so higher margin == more exit-worthy): with
-    # one global threshold this is a constant shift (identical ordering to
-    # ranking by raw criterion), but with per-exit threshold vectors the
-    # raw criterion mis-orders samples whose exits use different bars.
-    # Patience keeps the raw agreement count (last_crit doubles as the
-    # counter there).
-    if bool(higher_exits):
-        margin_of = lambda crit, t: crit - t  # noqa: E731
-    else:
-        margin_of = lambda crit, t: t - crit  # noqa: E731
+    # NOTE on capacity-pressure ordering with per-exit thresholds: ranking
+    # by raw criterion is EXACTLY margin-to-own-threshold ranking, because
+    # at every top_k all still-running rows carry the criterion of the
+    # SAME most-recent exit (the embedding loop updates every running row
+    # at each exit, and stage s's running set is a subset of stage s-1's
+    # sel, all scored at exit n_emb+s-1) — the per-exit threshold is a
+    # constant shift within each ranking. No margin machinery is needed.
 
     def cascade(params, input_ids, bbox, pixel_values, attention_mask):
         B = input_ids.shape[0]
@@ -285,8 +281,7 @@ def make_cascade_forward(
             out_logits = jnp.where(
                 (running & ~exits_now)[:, None], logits_j, out_logits
             )
-            stored_j = crit_j if use_patience else margin_of(crit_j, thrs[j])
-            last_crit = jnp.where(running, stored_j, last_crit)
+            last_crit = jnp.where(running, crit_j, last_crit)
             running = running & ~exits_now
 
         capacity_exited = jnp.zeros((B,), bool)
@@ -318,13 +313,10 @@ def make_cascade_forward(
                 full_mask = jnp.pad(full_mask, ((0, 0), (0, pad)))
         state = (combined, full_bbox, pos_ids, full_mask)
 
-        # desire-to-continue score: most-confident first would exit; we
-        # rank so the LEAST exit-worthy keep compute. last_crit holds the
-        # sign-adjusted margin to the sample's own exit threshold (or the
-        # raw agreement count for patience, whose sign is 'higher exits'),
-        # so -crit is the continue-worthiness in every mode.
+        # desire-to-continue score: most-confident first would exit; we rank
+        # so the LEAST exit-worthy keep compute
         def continue_score(crit, running_mask):
-            s = -crit
+            s = -crit if higher_exits else crit
             # running samples must outrank finished ones
             return jnp.where(running_mask, s, -jnp.inf)
 
@@ -438,10 +430,8 @@ def make_cascade_forward(
 
             # scatter stage results back to batch rows
             sel_running = jnp.take(running, sel)  # selected rows still running
-            pass_c = (
-                sign(crit_c, thrs[min(n_emb + stage_idx, E - 1)])
-                | is_final
-            )
+            stage_thr = thrs[min(n_emb + stage_idx, E - 1)] if E else 0.0
+            pass_c = sign(crit_c, stage_thr) | is_final
             exit_pos = E if is_final else n_emb + stage_idx
             exits_now_c = sel_running & pass_c
 
@@ -456,10 +446,7 @@ def make_cascade_forward(
             )
             new_running_c = sel_running & ~pass_c
             running = running.at[sel].set(new_running_c)
-            stored_c = crit_c if use_patience else margin_of(
-                crit_c, thrs[min(n_emb + stage_idx, E - 1)]
-            )
-            last_crit = last_crit.at[sel].set(stored_c)
+            last_crit = last_crit.at[sel].set(crit_c)
 
             if not is_final:
                 # scatter the compacted state back to batch rows so the next

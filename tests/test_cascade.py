@@ -177,10 +177,11 @@ def test_cascade_with_flash_kernels_matches_xla_path(monkeypatch):
 
 @pytest.mark.slow
 def test_capacity_priority_is_margin_to_own_threshold():
-    """Under capacity pressure with PER-EXIT thresholds, the rows forced
-    out must be those with the largest margin to their own exit's bar
-    (closest to exiting anyway) — not the raw-criterion ranking, which
-    mis-orders when exits use different bars (r5 mixture serving)."""
+    """Capacity-pressure regression with PER-EXIT thresholds: the rows
+    forced out must be the most-confident survivors (equivalently, the
+    largest margin to their exit's bar — at any top_k every running row
+    carries the criterion of the SAME most-recent exit, so the two
+    orderings coincide; see the cascade's ordering note)."""
     from multi_modal_early_exit_tpu.evaluation.thresholds import csf_matrix
 
     cfg = EEModelConfig(

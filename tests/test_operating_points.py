@@ -321,11 +321,47 @@ def test_select_mixture_operating_point():
     assert pt is not None
     assert pt.name == "mixture"
     assert len(pt.threshold) == 2  # one per exit; final excluded
+    # thresholds are returned UNROUNDED: percentile-grid values sit exactly
+    # ON score values and rounding would flip strict-> ties vs the cascade
+    from multi_modal_early_exit_tpu.evaluation.thresholds import (
+        percentile_thresholds,
+    )
+
+    grid = percentile_thresholds(store, 12)
+    assert all(
+        any(t == g for g in grid[j]) for j, t in enumerate(pt.threshold)
+    )
     assert pt.val_accuracy >= pt.val_full_accuracy - 0.01 - 1e-9
-    # the 2D search can only do at least as well as the best single global
-    # threshold under the same budget/rule
+    # no structural domination guarantee vs the refined global threshold
+    # (different candidate sets + holdout confirmation); on this fixed toy
+    # store the 2D search lands close to or below the global point
     (iso,) = select_operating_points(
         store, labels, n_emb=1, n_stages=2, batch=64,
         accuracy_drops=(("iso", 0.01),),
     )
-    assert pt.val_average_exit <= iso.val_average_exit + 1e-9
+    assert pt.val_average_exit <= iso.val_average_exit + 0.15
+
+
+def test_select_mixture_holdout_rejects_noise_winners():
+    """Winner's-curse control: with pure-noise exits (no exit beats
+    chance), zero budget, and many candidates, the holdout confirmation
+    must reject mixtures that only looked good on the selection half —
+    accepting one would transfer a real accuracy drop."""
+    from multi_modal_early_exit_tpu.evaluation.operating_points import (
+        select_mixture_operating_point,
+    )
+
+    rng = np.random.default_rng(9)
+    n, k = 300, 4
+    labels = rng.integers(0, k, n)
+    noise = rng.standard_normal((2, n, k)) * 3.0  # exits: pure noise
+    final = np.eye(k)[labels] * 4.0 + rng.standard_normal((n, k)) * 0.3
+    store = np.concatenate([noise, final[None]])
+    pt = select_mixture_operating_point(
+        store, labels, n_emb=1, n_stages=2, batch=64,
+        accuracy_drop=0.0, num_mixtures=50_000, num_per_exit=12, seed=3,
+    )
+    # acceptable outcomes: nothing qualifies, or the confirmed point's
+    # full-store accuracy genuinely meets the budget
+    if pt is not None:
+        assert pt.val_accuracy >= pt.val_full_accuracy - 1e-9
