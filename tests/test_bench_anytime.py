@@ -32,9 +32,13 @@ def test_bench_anytime_tiny(monkeypatch):
     # into the BENCH_DETAIL.json sidecar (VERDICT r4 #1: compact headline)
     detail = result["_detail"]
     pts = detail["operating_points"]
-    assert [p["name"] for p in pts] == ["iso", "fast", "faster"]
-    # the measured curve ships with the result (>= 3 points)
-    assert len(detail["anytime_curve"]) == 3
+    names = [p["name"] for p in pts]
+    # the 2D mixture point (r5) appears when the holdout-confirmed search
+    # finds a qualifying per-exit threshold vector
+    assert names[:3] == ["iso", "fast", "faster"]
+    assert names[3:] in ([], ["mixture"])
+    # the measured curve ships with the result (>= 3 points; + mixture)
+    assert len(detail["anytime_curve"]) == len(pts) >= 3
     assert "dead_exits" in result
     for p in pts:
         # iso-accuracy constraint held on validation by construction
