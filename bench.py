@@ -819,13 +819,19 @@ def bench_anytime(serve_batch: int, K: int) -> dict:
                 )
         point_reports.append(report)
 
-    # headline = the fastest measured ZERO-budget point (global-threshold
-    # iso vs the 2D mixture point — both are validation-derived
-    # iso-accuracy configurations; the winner is named in the output)
-    zero_budget = [
-        r for r in point_reports if r["accuracy_drop_budget"] == 0.0
-    ]
-    iso = max(zero_budget, key=lambda r: r["docs_per_sec"])
+    # headline = the global-threshold iso point unless the 2D mixture point
+    # is MATERIALLY faster (>2% measured). Throughput is capacity-quantized,
+    # so noise-level dps differences must not hand the headline to the
+    # higher-variance many-candidate configuration: on one bench seed the
+    # mixture squeaked past its holdout yet carried real test regret while
+    # "winning" by <1% dps — a pure argmax over ~equal numbers selects for
+    # exactly that failure. A real mixture win shifts a capacity tier.
+    iso = point_reports[0]
+    mix = next(
+        (r for r in point_reports if r["name"] == "mixture"), None
+    )
+    if mix is not None and mix["docs_per_sec"] > iso["docs_per_sec"] * 1.02:
+        iso = mix
     # the measured accuracy-vs-depth curve (iso, fast, faster, mixture):
     # compact view of the reference's headline artifact (EE/thresh.py:288-302)
     curve = [
